@@ -1,0 +1,145 @@
+"""Deterministic 2-D resampling with exact torch / OpenCV semantics.
+
+The reference mixes four interpolation conventions that all affect metric
+parity (SURVEY.md "hard parts"):
+
+* ``nearest``      - cv2.INTER_NEAREST / torch ``interpolate(mode='nearest')``:
+                     src = floor(dst * in/out).  Used for every SML network
+                     input (modules/midas/transforms.py:135-167) and the
+                     RC-Net decoder's final upsample (utils/net_utils.py:196).
+* ``bilinear`` ac=True  - fusion blocks (modules/midas/blocks.py:168-170),
+                     decoder multi-scale upsamples (RCNet/networks.py:720-756).
+* ``bilinear`` ac=False - SML output head (blocks.py:187) and cv2.INTER_LINEAR.
+* ``bicubic``  ac=False - final prediction upsample (val_zju.py:200-210),
+                     cubic kernel A = -0.75 with border-clamped taps.
+
+Rather than translating gather-heavy CPU kernels, resampling is expressed as
+two dense matmuls with precomputed (out x in) weight matrices - separable
+filtering that XLA maps straight onto the MXU and fuses with surrounding ops.
+Weight matrices are built once per (in, out, method) in float64 numpy and
+cached.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["resize2d", "resize_nearest_indices"]
+
+
+@functools.lru_cache(maxsize=None)
+def resize_nearest_indices(in_size: int, out_size: int) -> Tuple[int, ...]:
+    """floor(i * in/out) source indices (torch 'nearest' / cv2 INTER_NEAREST)."""
+    scale = in_size / out_size
+    idx = np.clip(np.floor(np.arange(out_size) * scale), 0, in_size - 1)
+    return tuple(idx.astype(np.int64).tolist())
+
+
+def _source_coords(in_size: int, out_size: int, align_corners: bool,
+                   cubic: bool) -> np.ndarray:
+    # torch computes source coordinates in the tensor's scalar type (fp32
+    # for float inputs); emulate that so weights match bitwise.
+    i = np.arange(out_size, dtype=np.float32)
+    if align_corners:
+        if out_size == 1:
+            return np.zeros(out_size)
+        scale = np.float32(in_size - 1) / np.float32(out_size - 1)
+        return (i * scale).astype(np.float64)
+    scale = np.float32(in_size) / np.float32(out_size)
+    src = ((i + np.float32(0.5)) * scale - np.float32(0.5)).astype(np.float32)
+    if not cubic:
+        # torch clamps negative source coords for linear, not for cubic
+        # (cubic uses bounded taps instead).
+        src = np.maximum(src, 0.0)
+    return src.astype(np.float64)
+
+
+@functools.lru_cache(maxsize=None)
+def _linear_matrix(in_size: int, out_size: int, align_corners: bool
+                   ) -> np.ndarray:
+    src = _source_coords(in_size, out_size, align_corners, cubic=False)
+    i0 = np.floor(src).astype(np.int64)
+    i0 = np.clip(i0, 0, in_size - 1)
+    i1 = np.minimum(i0 + 1, in_size - 1)
+    w1 = src - i0
+    w0 = 1.0 - w1
+    W = np.zeros((out_size, in_size), np.float64)
+    rows = np.arange(out_size)
+    np.add.at(W, (rows, i0), w0)
+    np.add.at(W, (rows, i1), w1)
+    return W.astype(np.float32)
+
+
+def _cubic_kernel(t: np.ndarray, A: float = -0.75) -> np.ndarray:
+    """Keys cubic convolution kernel with a = -0.75 (torch/OpenCV)."""
+    at = np.abs(t)
+    at2, at3 = at * at, at * at * at
+    w = np.where(
+        at <= 1.0,
+        (A + 2.0) * at3 - (A + 3.0) * at2 + 1.0,
+        np.where(at < 2.0, A * at3 - 5.0 * A * at2 + 8.0 * A * at - 4.0 * A,
+                 0.0))
+    return w
+
+
+@functools.lru_cache(maxsize=None)
+def _cubic_matrix(in_size: int, out_size: int, align_corners: bool
+                  ) -> np.ndarray:
+    src = _source_coords(in_size, out_size, align_corners, cubic=True)
+    i_floor = np.floor(src).astype(np.int64)
+    W = np.zeros((out_size, in_size), np.float64)
+    rows = np.arange(out_size)
+    frac = src - i_floor
+    for tap in (-1, 0, 1, 2):
+        idx = np.clip(i_floor + tap, 0, in_size - 1)  # border-replicate taps
+        w = _cubic_kernel(frac - tap)
+        np.add.at(W, (rows, idx), w)
+    return W.astype(np.float32)
+
+
+def resize2d(x: jnp.ndarray,
+             out_shape: Tuple[int, int],
+             method: str = "bilinear",
+             align_corners: bool = False) -> jnp.ndarray:
+    """Resize the (-3, -2) spatial axes of an NHWC(-like) array.
+
+    Args:
+      x: (..., H, W, C) array.
+      out_shape: target (H2, W2).
+      method: 'nearest' | 'bilinear' | 'bicubic'.
+      align_corners: corner-alignment convention (ignored for nearest).
+    """
+    h, w = x.shape[-3], x.shape[-2]
+    h2, w2 = out_shape
+    if (h, w) == (h2, w2):
+        return x
+
+    if method == "nearest":
+        if h != h2:
+            x = jnp.take(x, jnp.asarray(resize_nearest_indices(h, h2)), axis=-3)
+        if w != w2:
+            x = jnp.take(x, jnp.asarray(resize_nearest_indices(w, w2)), axis=-2)
+        return x
+
+    if method == "bilinear":
+        Wh = _linear_matrix(h, h2, align_corners)
+        Ww = _linear_matrix(w, w2, align_corners)
+    elif method == "bicubic":
+        Wh = _cubic_matrix(h, h2, align_corners)
+        Ww = _cubic_matrix(w, w2, align_corners)
+    else:
+        raise ValueError(f"Unknown resize method: {method}")
+
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    if h != h2:
+        xf = jnp.einsum("oh,...hwc->...owc", jnp.asarray(Wh), xf,
+                        precision="highest")
+    if w != w2:
+        xf = jnp.einsum("pw,...hwc->...hpc", jnp.asarray(Ww), xf,
+                        precision="highest")
+    return xf.astype(orig_dtype)
