@@ -1,0 +1,231 @@
+"""NN layer primitives (flax.linen, NHWC).
+
+TPU-native layer library providing the building blocks the reference keeps
+in utils/net_utils.py:29-638 (Conv2d, TransposeConv2d, UpConv2d,
+FullyConnected, ResNetBlock, DecoderBlock) and the activation factory
+(net_utils.py:4-23).  Semantics deliberately match torch so converted
+reference checkpoints evaluate identically:
+
+* conv padding = kernel_size // 2, symmetric (torch Conv2d default style);
+* leaky_relu negative_slope 0.2 (the reference's 'leaky_relu' factory);
+* BatchNorm eps 1e-5, running-stat momentum 0.1 (torch default), expressed
+  as flax momentum 0.9;
+* UpConv2d = nearest upsample to target shape + conv (net_utils.py:156-198).
+
+Layout is NHWC end-to-end - the TPU-preferred convolution layout.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from riders_tpu.ops.resize import resize2d
+
+Dtype = Any
+
+
+def activation_fn(name: str) -> Optional[Callable[[jnp.ndarray], jnp.ndarray]]:
+    """Activation factory (net_utils.py:4-23)."""
+    if "linear" in name:
+        return None
+    if "leaky_relu" in name:
+        return lambda x: nn.leaky_relu(x, negative_slope=0.20)
+    if "relu" in name:
+        return nn.relu
+    if "elu" in name:
+        return nn.elu
+    if "sigmoid" in name:
+        return nn.sigmoid
+    raise ValueError(f"Unsupported activation function: {name}")
+
+
+class ConvBlock(nn.Module):
+    """conv -> [batch_norm] -> [activation]  (net_utils.py:29-91).
+
+    Bias-free conv (the reference's Conv2d always sets bias=False)."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    activation: Optional[Callable] = None
+    use_batch_norm: bool = False
+    use_bias: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        pad = self.kernel_size // 2
+        x = nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=[(pad, pad), (pad, pad)],
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            name="conv")(x)
+        if self.use_batch_norm:
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, name="bn")(x)
+        if self.activation is not None:
+            x = self.activation(x)
+        return x
+
+
+class TransposeConvBlock(nn.Module):
+    """Stride-2 transpose conv with torch output_padding=1 semantics
+    (net_utils.py:94-153): output spatial size is exactly 2x input."""
+
+    features: int
+    kernel_size: int = 3
+    activation: Optional[Callable] = None
+    use_batch_norm: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        # torch ConvTranspose2d(k, stride=2, padding=k//2, output_padding=1)
+        # -> out = 2*in.  Equivalent XLA transposed conv padding:
+        # lo = hi = k - 1 - k//2, then trim one row/col at the end via
+        # asymmetric padding.
+        k = self.kernel_size
+        p = k // 2
+        x = nn.ConvTranspose(
+            self.features, (k, k), strides=(2, 2),
+            padding=[(k - 1 - p, k - 1 - p + 1), (k - 1 - p, k - 1 - p + 1)],
+            use_bias=False, dtype=self.dtype, name="deconv")(x)
+        if self.use_batch_norm:
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype, name="bn")(x)
+        if self.activation is not None:
+            x = self.activation(x)
+        return x
+
+
+class UpConvBlock(nn.Module):
+    """Nearest-upsample to `shape` then conv (net_utils.py:156-198)."""
+
+    features: int
+    kernel_size: int = 3
+    activation: Optional[Callable] = None
+    use_batch_norm: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, shape: Tuple[int, int],
+                 train: bool = False) -> jnp.ndarray:
+        x = resize2d(x, shape, method="nearest")
+        return ConvBlock(
+            self.features, self.kernel_size, 1, self.activation,
+            self.use_batch_norm, dtype=self.dtype, name="conv")(x, train)
+
+
+class FullyConnected(nn.Module):
+    """Linear -> activation (net_utils.py:201-247).  Torch Linear has bias."""
+
+    features: int
+    activation: Optional[Callable] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Dense(self.features, use_bias=True, dtype=self.dtype,
+                     name="linear")(x)
+        if self.activation is not None:
+            x = self.activation(x)
+        return x
+
+
+class ResNetBlock(nn.Module):
+    """Basic residual block with projection-on-mismatch
+    (net_utils.py:253-323)."""
+
+    features: int
+    stride: int = 1
+    activation: Optional[Callable] = None
+    use_batch_norm: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        out = ConvBlock(self.features, 3, self.stride, self.activation,
+                        self.use_batch_norm, dtype=self.dtype,
+                        name="conv1")(x, train)
+        out = ConvBlock(self.features, 3, 1, self.activation,
+                        self.use_batch_norm, dtype=self.dtype,
+                        name="conv2")(out, train)
+        if x.shape[-1] != self.features or self.stride != 1:
+            x = ConvBlock(self.features, 1, self.stride, None, False,
+                          dtype=self.dtype, name="projection")(x, train)
+        return self.activation(out + x) if self.activation else out + x
+
+
+class VGGBlock(nn.Module):
+    """n_conv stacked 3x3 convs, stride on the last (net_utils.py:410-470)."""
+
+    features: int
+    n_conv: int = 2
+    stride: int = 2
+    activation: Optional[Callable] = None
+    use_batch_norm: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        for i in range(self.n_conv - 1):
+            x = ConvBlock(self.features, 3, 1, self.activation,
+                          self.use_batch_norm, dtype=self.dtype,
+                          name=f"conv{i}")(x, train)
+        return ConvBlock(self.features, 3, self.stride, self.activation,
+                         self.use_batch_norm, dtype=self.dtype,
+                         name=f"conv{self.n_conv - 1}")(x, train)
+
+
+class DecoderBlock(nn.Module):
+    """Upsample (+skip concat) + conv decoder block (net_utils.py:473-569).
+
+    deconv_type 'up' resizes to the skip's spatial shape (or `shape`, or
+    2x) with nearest interpolation before the fusion conv."""
+
+    features: int
+    activation: Optional[Callable] = None
+    use_batch_norm: bool = False
+    deconv_type: str = "up"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 skip: Optional[jnp.ndarray] = None,
+                 shape: Optional[Tuple[int, int]] = None,
+                 train: bool = False) -> jnp.ndarray:
+        if self.deconv_type == "transpose":
+            deconv = TransposeConvBlock(
+                self.features, 3, self.activation, self.use_batch_norm,
+                dtype=self.dtype, name="deconv")(x, train)
+        else:
+            if skip is not None:
+                target = skip.shape[-3:-1]
+            elif shape is not None:
+                target = shape
+            else:
+                target = (2 * x.shape[-3], 2 * x.shape[-2])
+            deconv = UpConvBlock(
+                self.features, 3, self.activation, self.use_batch_norm,
+                dtype=self.dtype, name="deconv")(x, target, train)
+
+        concat = (jnp.concatenate([deconv, skip], axis=-1)
+                  if skip is not None else deconv)
+        return ConvBlock(self.features, 3, 1, self.activation,
+                         self.use_batch_norm, dtype=self.dtype,
+                         name="conv")(concat, train)
+
+
+def max_pool_same(x: jnp.ndarray, window: int = 3, stride: int = 2
+                  ) -> jnp.ndarray:
+    """torch MaxPool2d(kernel=3, stride=2, padding=1) equivalent."""
+    pad = window // 2
+    return nn.max_pool(x, (window, window), strides=(stride, stride),
+                       padding=[(pad, pad), (pad, pad)])

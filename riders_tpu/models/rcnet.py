@@ -1,0 +1,203 @@
+"""RC-Net: radar-pixel correspondence network (flax.linen, NHWC).
+
+TPU-native re-design of RCNet/networks.py + rcnet_model.py:
+
+* ``ResNetEncoder``     - ResNet18-style full-image encoder with 4 skip
+                          scales down to /32 (networks.py:10-270);
+* ``PointEncoder``      - 6-layer MLP lifting each radar (u, v, z) to a
+                          latent token grid (networks.py:273-332);
+* ``RCNetEncoder``      - full-image encode once, RoI-pool patch features at
+                          every scale, LoFTR self/cross attention between
+                          point tokens and patch tokens, concat fusion
+                          (networks.py:335-451);
+* ``MultiScaleDecoder`` - U-Net decoder from the fused latent back to a
+                          per-pixel correspondence logit map over the patch
+                          (networks.py:458-778, n_resolution=1 path);
+* ``RCNet``             - the end-to-end module (rcnet_model.py:101-123).
+
+The per-frame point axis K is a first-class batch dimension: the encoder
+runs once per frame, and the (B, K) patch work is flattened to B*K - the
+sharding axis the parallel layer splits over the mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from riders_tpu.core.config import RCNetConfig
+from riders_tpu.models.attention import LocalFeatureTransformer
+from riders_tpu.models.layers import (
+    ConvBlock,
+    DecoderBlock,
+    FullyConnected,
+    ResNetBlock,
+    activation_fn,
+    max_pool_same,
+)
+from riders_tpu.ops.patches import roi_pool_pyramid
+
+Dtype = Any
+
+
+class ResNetEncoder(nn.Module):
+    """ResNet-18-style encoder with skips (networks.py:10-270).
+
+    Returns (latent at /32, [skips at /2, /4, /8, /16])."""
+
+    n_filters: Sequence[int] = (32, 64, 128, 128, 128)
+    activation: str = "leaky_relu"
+    use_batch_norm: bool = True
+    n_blocks_per_stage: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False
+                 ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+        act = activation_fn(self.activation)
+        skips: List[jnp.ndarray] = []
+
+        # 1/1 -> 1/2: 7x7 stride-2 conv.
+        h = ConvBlock(self.n_filters[0], 7, 2, act, self.use_batch_norm,
+                      dtype=self.dtype, name="conv1")(x, train)
+        skips.append(h)
+
+        # 1/2 -> 1/4: max pool then residual stage.
+        h = max_pool_same(h, 3, 2)
+        for si, feat in enumerate(self.n_filters[1:]):
+            stride = 1 if si == 0 else 2
+            for bi in range(self.n_blocks_per_stage):
+                h = ResNetBlock(feat, stride if bi == 0 else 1, act,
+                                self.use_batch_norm, dtype=self.dtype,
+                                name=f"blocks{si + 2}_{bi}")(h, train)
+            if si < len(self.n_filters) - 2:
+                skips.append(h)
+        return h, skips
+
+
+class PointEncoder(nn.Module):
+    """6-layer MLP radar-point encoder (networks.py:273-332)."""
+
+    n_neurons: Sequence[int] = (32, 64, 128, 128, 128)
+    latent_size: int = 128 * 7 * 3
+    activation: str = "leaky_relu"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, points: jnp.ndarray) -> jnp.ndarray:
+        act = activation_fn(self.activation)
+        h = points
+        for i, feat in enumerate(self.n_neurons):
+            h = FullyConnected(feat, act, dtype=self.dtype,
+                               name=f"fc{i}")(h)
+        return FullyConnected(self.latent_size, act, dtype=self.dtype,
+                              name="fc_out")(h)
+
+
+class MultiScaleDecoder(nn.Module):
+    """U-Net decoder, n_resolution=1 configuration (networks.py:458-778).
+
+    Walks the skip pyramid deep->shallow; the final block upsamples to
+    `output_shape` without a skip, then a linear 3x3 conv emits logits."""
+
+    n_filters: Sequence[int] = (256, 128, 64, 32, 16)
+    output_shape: Tuple[int, int] = (240, 100)
+    output_channels: int = 1
+    activation: str = "leaky_relu"
+    use_batch_norm: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, skips: Sequence[jnp.ndarray],
+                 train: bool = False) -> jnp.ndarray:
+        act = activation_fn(self.activation)
+        h = x
+        # skips ordered shallow->deep; walk from the deepest.
+        for i, feat in enumerate(self.n_filters[:-1]):
+            skip = skips[len(skips) - 1 - i]
+            h = DecoderBlock(feat, act, self.use_batch_norm, "up",
+                             dtype=self.dtype,
+                             name=f"deconv{4 - i}")(h, skip=skip, train=train)
+        h = DecoderBlock(self.n_filters[-1], act, self.use_batch_norm, "up",
+                         dtype=self.dtype, name="deconv0")(
+                             h, shape=self.output_shape, train=train)
+        return ConvBlock(self.output_channels, 3, 1, None, False,
+                         dtype=self.dtype, name="output0")(h, train)
+
+
+class RCNet(nn.Module):
+    """End-to-end RC-Net over a padded point bucket.
+
+    __call__(image, points, boxes, point_mask):
+      image: (B, H, W, 3) normalized full frame (already edge-padded by
+        patch//2 per side, datasets.py:177-182 / rcnet_main.py:441-444).
+      points: (B, K, 3) radar (u, v, z) in padded-image coordinates.
+      boxes: (B, K, 4) [x1, y1, x2, y2] patch boxes.
+      point_mask: (B, K) validity of the padded bucket.
+    Returns logits (B, K, patch_h, patch_w, 1).
+    """
+
+    config: RCNetConfig = RCNetConfig()
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, image: jnp.ndarray, points: jnp.ndarray,
+                 boxes: jnp.ndarray, point_mask: Optional[jnp.ndarray] = None,
+                 train: bool = False, return_logits: bool = True
+                 ) -> jnp.ndarray:
+        cfg = self.config
+        B, K = points.shape[:2]
+        lh, lw = cfg.latent_shape
+        d_model = cfg.n_neurons_encoder_depth[-1]
+
+        latent, skips = ResNetEncoder(
+            cfg.n_filters_encoder_image, cfg.activation, cfg.use_batch_norm,
+            dtype=self.dtype, name="encoder_image")(image, train)
+
+        pooled_latent, pooled_skips = jax.vmap(
+            lambda feat, sks, bxs: roi_pool_pyramid(
+                feat, sks, bxs, cfg.patch_size))(latent, skips, boxes)
+        # -> (B, K, h, w, C) each; flatten the frame x point axes.
+        flat = lambda t: t.reshape((B * K,) + t.shape[2:])
+        pooled_latent = flat(pooled_latent)
+        pooled_skips = [flat(s) for s in pooled_skips]
+
+        # Point branch: MLP -> (B*K, lh*lw, d) token grid
+        # (networks.py:438-443; channel-major reshape as in torch .view).
+        pts = points.reshape(B * K, points.shape[-1])
+        point_latent = PointEncoder(
+            cfg.n_neurons_encoder_depth, d_model * lh * lw, cfg.activation,
+            dtype=self.dtype, name="encoder_depth")(pts)
+        point_tokens = point_latent.reshape(B * K, d_model, lh * lw)
+        point_tokens = point_tokens.transpose(0, 2, 1)
+
+        image_tokens = pooled_latent.reshape(B * K, lh * lw,
+                                             pooled_latent.shape[-1])
+
+        point_tokens, image_tokens = LocalFeatureTransformer(
+            d_model=d_model, nhead=cfg.attention_heads,
+            layer_types=("self", "cross"), n_layers=cfg.attention_layers,
+            dtype=self.dtype, name="attention")(point_tokens, image_tokens)
+
+        # Concat fusion (networks.py:450): image features first.
+        fused = jnp.concatenate([
+            image_tokens.reshape(B * K, lh, lw, -1),
+            point_tokens.reshape(B * K, lh, lw, -1)], axis=-1)
+
+        logits = MultiScaleDecoder(
+            cfg.n_filters_decoder, cfg.patch_size, 1, cfg.activation,
+            cfg.use_batch_norm, dtype=self.dtype, name="decoder")(
+                fused, pooled_skips, train)
+
+        logits = logits.reshape(B, K, *cfg.patch_size, 1)
+        if point_mask is not None:
+            logits = jnp.where(point_mask[:, :, None, None, None] > 0,
+                               logits, -1e4 if return_logits else 0.0)
+        if return_logits:
+            return logits
+        return jax.nn.sigmoid(logits) * (
+            point_mask[:, :, None, None, None]
+            if point_mask is not None else 1.0)

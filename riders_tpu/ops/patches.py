@@ -1,0 +1,247 @@
+"""Fixed-size RoI feature pooling and tiled patch composition.
+
+TPU-native replacement for the two native ops at the heart of RC-Net:
+
+* ``roi_max_pool`` replaces torchvision.ops.roi_pool (C++/CUDA), used on the
+  latent and every skip scale (RCNet/networks.py:418-433).  Because every
+  RC-Net box is exactly `patch_size` and output sizes equal
+  int(patch * scale), each pooling bin spans at most 2 feature rows/cols;
+  the pool reduces to a dynamic-slice crop plus a two-tap gather max -
+  XLA-friendly, no scatter, vmappable over points.
+* ``compose_patches`` replaces the host paste-back loop of
+  rcnet_main.forward_output:460-487: thresholded per-point response crops
+  are composited into a full-resolution map (max response) and a
+  confidence-weighted depth average, via a lax.scan of windowed
+  accumulator updates (no K x H x W intermediate).
+
+torchvision roi_pool semantics reproduced exactly: start/end = round(coord
+* scale) (half away from zero), roi size = end - start + 1 (legacy +1),
+bin [floor(p*b), ceil((p+1)*b)) clamped to the feature extent, empty -> 0.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_NEG = -1e30
+
+
+def _max_roi(box_extent: int, scale: float) -> int:
+    """Largest possible rounded roi size (+1) for a fixed box extent."""
+    # round(x + e) - round(x) for e = box_extent*scale is at most ceil(e),
+    # plus the legacy +1.
+    return int(math.ceil(box_extent * scale)) + 1
+
+
+def _max_bin_width(out_n: int, win_n: int) -> int:
+    """Static bound on ceil((p+1)*roi/out) - floor(p*roi/out) over all
+    feasible roi sizes (out <= roi <= win) and bins p."""
+    width = 1
+    for roi in range(out_n, win_n + 1):
+        for p in range(out_n):
+            w = -((-(p + 1) * roi) // out_n) - (p * roi) // out_n
+            width = max(width, w)
+    return width
+
+
+def roi_max_pool(feature: jnp.ndarray,
+                 boxes: jnp.ndarray,
+                 scale: float,
+                 out_size: Tuple[int, int],
+                 box_size: Tuple[int, int]) -> jnp.ndarray:
+    """RoI max pool of K fixed-size boxes from one feature map.
+
+    Args:
+      feature: (H, W, C) feature map.
+      boxes: (K, 4) [x1, y1, x2, y2] in input-image pixels.
+      scale: feature stride reciprocal (e.g. 1/32).
+      out_size: (out_h, out_w) pooled output size.
+      box_size: static (box_h, box_w) in input pixels (x2-x1 = box_w).
+    Returns:
+      (K, out_h, out_w, C) pooled features.
+    """
+    H, W, C = feature.shape
+    out_h, out_w = out_size
+    win_h = _max_roi(box_size[0], scale)
+    win_w = _max_roi(box_size[1], scale)
+    taps_h = _max_bin_width(out_h, win_h)
+    taps_w = _max_bin_width(out_w, win_w)
+
+    padded = jnp.pad(feature, ((0, win_h), (0, win_w), (0, 0)),
+                     constant_values=_NEG)
+
+    def pool_one(box):
+        x1, y1, x2, y2 = box[0], box[1], box[2], box[3]
+        # std::round = half away from zero (coords are non-negative here);
+        # jnp.round would round half to even.
+        r = lambda v: jnp.floor(v * scale + 0.5).astype(jnp.int32)
+        rs_w, rs_h, re_w, re_h = r(x1), r(y1), r(x2), r(y2)
+        roi_w = jnp.maximum(re_w - rs_w + 1, 1)
+        roi_h = jnp.maximum(re_h - rs_h + 1, 1)
+
+        rs_h_c = jnp.clip(rs_h, 0, H)
+        rs_w_c = jnp.clip(rs_w, 0, W)
+        win = jax.lax.dynamic_slice(
+            padded, (rs_h_c, rs_w_c, 0), (win_h, win_w, C))
+
+        def bin_bounds(roi, out_n, win_n):
+            # Bin [floor(p*roi/out), ceil((p+1)*roi/out)); rows beyond the
+            # feature extent carry _NEG from the padding and lose the max,
+            # reproducing torchvision's clamp.  Boundaries use exact integer
+            # arithmetic - torchvision computes them in fp32, which drifts
+            # by one row exactly at integer bin boundaries depending on the
+            # device's fp32 division rounding; integer math is
+            # device-independent and matches the rational definition.
+            p = jnp.arange(out_n, dtype=jnp.int32)
+            a = (p * roi) // out_n                       # floor(p*roi/out)
+            z = -((-(p + 1) * roi) // out_n) - 1         # ceil(..)-1
+            a = jnp.clip(a, 0, win_n - 1)
+            z = jnp.clip(z, 0, win_n - 1)
+            return a, jnp.maximum(z, a)
+
+        def axis_max(arr, axis, a, z, n_taps):
+            # max over the bin via n_taps gathers: idx_t = min(a+t, z).
+            out = jnp.take(arr, a, axis=axis)
+            for t in range(1, n_taps):
+                out = jnp.maximum(
+                    out, jnp.take(arr, jnp.minimum(a + t, z), axis=axis))
+            return out
+
+        ha, hz = bin_bounds(roi_h, out_h, win_h)
+        wa, wz = bin_bounds(roi_w, out_w, win_w)
+        rows = axis_max(win, 0, ha, hz, taps_h)
+        pooled = axis_max(rows, 1, wa, wz, taps_w)
+        # Regions that fell entirely outside the feature yield 0
+        # (torchvision empty-bin convention).
+        return jnp.where(pooled < _NEG * 0.5, 0.0, pooled)
+
+    return jax.vmap(pool_one)(boxes.astype(jnp.float32))
+
+
+def roi_pool_pyramid(latent: jnp.ndarray,
+                     skips: Sequence[jnp.ndarray],
+                     boxes: jnp.ndarray,
+                     patch_size: Tuple[int, int]
+                     ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+    """Pool the latent and every skip scale for all boxes
+    (RCNet/networks.py:404-433).
+
+    skips are ordered shallow->deep with strides 2, 4, 8, 16; the latent has
+    stride 32 and pooled size patch // 32.
+    """
+    ph, pw = patch_size
+    pooled_skips = []
+    for i, skip in enumerate(skips):
+        s = 1.0 / (2 ** (i + 1))
+        out = (int(ph * s), int(pw * s))
+        pooled_skips.append(roi_max_pool(skip, boxes, s, out, patch_size))
+    latent_out = (ph // 32, pw // 32)
+    pooled_latent = roi_max_pool(latent, boxes, 1.0 / 32.0, latent_out,
+                                 patch_size)
+    return pooled_latent, pooled_skips
+
+
+def compose_patches(responses: jnp.ndarray,
+                    points: jnp.ndarray,
+                    point_mask: jnp.ndarray,
+                    image_shape: Tuple[int, int],
+                    patch_size: Tuple[int, int],
+                    response_threshold: jnp.ndarray | float
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Composite per-point response crops into quasi-dense depth
+    (rcnet_main.py:435-487).
+
+    Args:
+      responses: (K, ph, pw) sigmoid responses for each radar point's patch.
+      points: (K, 3) (u, v, z) in PADDED image coordinates (u, v are the
+        patch centres, already shifted by patch//2 as in run_rcnet:223-232).
+      point_mask: (K,) validity of each (padded-bucket) point.
+      image_shape: unpadded (H, W).
+      patch_size: (ph, pw).
+      response_threshold: responses below are zeroed before composition.
+    Returns:
+      (depth, response): two (H, W) maps; depth is the response-weighted
+      average of contributing radar depths, response the max response.
+    """
+    H, W = image_shape
+    ph, pw = patch_size
+    pad_y, pad_x = ph // 2, pw // 2
+    Hp, Wp = H + 2 * pad_y, W + 2 * pad_x
+
+    thr = jnp.asarray(response_threshold, jnp.float32)
+    resp = jnp.where(responses < thr, 0.0, responses)
+    resp = resp * point_mask[:, None, None]
+
+    def step(carry, inp):
+        max_r, sum_r, sum_rz = carry
+        crop, pt = inp
+        u = jnp.round(pt[0]).astype(jnp.int32)
+        v = jnp.round(pt[1]).astype(jnp.int32)
+        z = pt[2]
+        y0 = jnp.clip(v - pad_y, 0, Hp - ph)
+        x0 = jnp.clip(u - pad_x, 0, Wp - pw)
+
+        def upd(canvas, delta, combine):
+            winv = jax.lax.dynamic_slice(canvas, (y0, x0), (ph, pw))
+            return jax.lax.dynamic_update_slice(canvas, combine(winv, delta),
+                                                (y0, x0))
+
+        max_r = upd(max_r, crop, jnp.maximum)
+        sum_r = upd(sum_r, crop, jnp.add)
+        sum_rz = upd(sum_rz, crop * z, jnp.add)
+        return (max_r, sum_r, sum_rz), None
+
+    init = (jnp.zeros((Hp, Wp), jnp.float32),
+            jnp.zeros((Hp, Wp), jnp.float32),
+            jnp.zeros((Hp, Wp), jnp.float32))
+    (max_r, sum_r, sum_rz), _ = jax.lax.scan(step, init, (resp, points))
+
+    # Crop the padding off (rcnet_main.py:466).
+    max_r = max_r[pad_y:pad_y + H, pad_x:pad_x + W]
+    sum_r = sum_r[pad_y:pad_y + H, pad_x:pad_x + W]
+    sum_rz = sum_rz[pad_y:pad_y + H, pad_x:pad_x + W]
+
+    depth = jnp.where(max_r > 0, sum_rz / jnp.where(sum_r > 0, sum_r, 1.0),
+                      0.0)
+    return depth, max_r
+
+
+def adaptive_compose(responses: jnp.ndarray,
+                     points: jnp.ndarray,
+                     point_mask: jnp.ndarray,
+                     image_shape: Tuple[int, int],
+                     patch_size: Tuple[int, int],
+                     response_threshold: float,
+                     threshold_decay: float = 0.05,
+                     max_retries: int = 8
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Composition with the adaptive threshold-decay retry of
+    run_rcnet_zju.py:254-264: while the composed depth is all zero, lower
+    the threshold by `threshold_decay` (bounded retries keep the loop
+    shape-static).
+
+    Returns (depth, response, final_threshold).
+    """
+
+    def cond(state):
+        depth, _, thr, it = state
+        return jnp.logical_and(jnp.sum(depth) == 0.0, it < max_retries)
+
+    def body(state):
+        _, _, thr, it = state
+        depth, resp = compose_patches(
+            responses, points, point_mask, image_shape, patch_size, thr)
+        return depth, resp, thr - threshold_decay, it + 1
+
+    depth0, resp0 = compose_patches(
+        responses, points, point_mask, image_shape, patch_size,
+        response_threshold)
+    depth, resp, thr, _ = jax.lax.while_loop(
+        cond, body,
+        (depth0, resp0, jnp.float32(response_threshold - threshold_decay),
+         jnp.int32(0)))
+    return depth, resp, thr + threshold_decay

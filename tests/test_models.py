@@ -1,0 +1,139 @@
+"""Smoke + structural tests for the SML and RC-Net flax models."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from riders_tpu.core.config import RCNetConfig, SMLConfig
+from riders_tpu.models.attention import (
+    LocalFeatureTransformer,
+    linear_attention,
+)
+from riders_tpu.models.rcnet import RCNet, ResNetEncoder
+from riders_tpu.models.sml import ScaleMapLearner
+
+
+def test_linear_attention_matches_torch_reference(rng):
+    """Parity with the elu+1 linear attention einsum semantics
+    (RCNet/linear_attention.py:18-45)."""
+    import torch
+    import torch.nn.functional as F
+
+    n, l, s, h, d = 2, 21, 21, 8, 16
+    q = rng.standard_normal((n, l, h, d)).astype(np.float32)
+    k = rng.standard_normal((n, s, h, d)).astype(np.float32)
+    v = rng.standard_normal((n, s, h, d)).astype(np.float32)
+
+    tq, tk, tv = map(torch.from_numpy, (q, k, v))
+    Q = F.elu(tq) + 1
+    K = F.elu(tk) + 1
+    values = tv / s
+    KV = torch.einsum("nshd,nshv->nhdv", K, values)
+    Z = 1 / (torch.einsum("nlhd,nhd->nlh", Q, K.sum(dim=1)) + 1e-6)
+    ref = torch.einsum("nlhd,nhdv,nlh->nlhv", Q, KV, Z) * s
+
+    ours = linear_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=1e-5)
+
+
+def test_loftr_stack_shapes(rng):
+    model = LocalFeatureTransformer(d_model=32, nhead=4, n_layers=2)
+    f0 = jnp.asarray(rng.standard_normal((3, 21, 32)).astype(np.float32))
+    f1 = jnp.asarray(rng.standard_normal((3, 21, 32)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), f0, f1)
+    o0, o1 = model.apply(params, f0, f1)
+    assert o0.shape == f0.shape and o1.shape == f1.shape
+    assert np.isfinite(np.asarray(o0)).all()
+
+
+def test_resnet_encoder_shapes(rng):
+    enc = ResNetEncoder()
+    x = jnp.asarray(rng.standard_normal((1, 256, 320, 3)).astype(np.float32))
+    params = enc.init(jax.random.PRNGKey(0), x)
+    latent, skips = enc.apply(params, x)
+    assert latent.shape == (1, 8, 10, 128)
+    assert [tuple(s.shape) for s in skips] == [
+        (1, 128, 160, 32), (1, 64, 80, 64), (1, 32, 40, 128),
+        (1, 16, 20, 128)]
+
+
+def test_sml_forward_shapes_and_clamps(rng):
+    cfg = SMLConfig(net_shape=(96, 128), min_pred=0.1, max_pred=255.0)
+    model = ScaleMapLearner(config=cfg)
+    x = jnp.asarray(rng.standard_normal((2, 96, 128, 3)).astype(np.float32))
+    d = jnp.asarray((rng.random((2, 96, 128, 1)) * 20).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, d)
+    pred, scales = model.apply(variables, x, d)
+    assert pred.shape == (2, 96, 128, 1)
+    assert scales.shape == (2, 96, 128, 1)
+    p = np.asarray(pred)
+    assert p.max() <= 1.0 / 0.1 + 1e-5
+    assert p.min() >= 1.0 / 255.0 - 1e-7
+    assert np.isfinite(p).all()
+    # scales = relu(1 + out) must be non-negative
+    assert np.asarray(scales).min() >= 0.0
+
+
+def test_sml_param_structure():
+    cfg = SMLConfig(net_shape=(96, 128))
+    model = ScaleMapLearner(config=cfg)
+    x = jnp.zeros((1, 96, 128, 3))
+    d = jnp.ones((1, 96, 128, 1))
+    variables = model.init(jax.random.PRNGKey(0), x, d)
+    params = variables["params"]
+    for key in ("first_conv", "pretrained", "layer1_rn", "layer4_rn",
+                "refinenet4", "refinenet1", "output_conv"):
+        assert key in params, f"missing {key}"
+    n_params = sum(np.prod(p.shape) for p in
+                   jax.tree_util.tree_leaves(params))
+    # efficientnet-lite3 backbone ~7M; refinenet4 RCUs at 512ch ~9.4M; total ~16.6M.
+    assert 10e6 < n_params < 25e6, n_params
+
+
+@pytest.mark.parametrize("batch,k", [(1, 4), (2, 3)])
+def test_rcnet_forward_shapes(rng, batch, k):
+    cfg = RCNetConfig(patch_size=(64, 32))
+    model = RCNet(config=cfg)
+    H, W = 128, 160   # already-padded frame
+    image = jnp.asarray(rng.random((batch, H, W, 3)).astype(np.float32))
+    pts = np.stack([
+        rng.integers(16, W - 16, (batch, k)),
+        rng.integers(32, H - 32, (batch, k)),
+        rng.random((batch, k)) * 50], axis=-1).astype(np.float32)
+    boxes = np.stack([
+        pts[..., 0] - 16, pts[..., 1] - 32,
+        pts[..., 0] + 16, pts[..., 1] + 32], axis=-1).astype(np.float32)
+    mask = np.ones((batch, k), np.float32)
+    mask[:, -1] = 0.0
+
+    variables = model.init(jax.random.PRNGKey(0), image, jnp.asarray(pts),
+                           jnp.asarray(boxes), jnp.asarray(mask))
+    logits = model.apply(variables, image, jnp.asarray(pts),
+                         jnp.asarray(boxes), jnp.asarray(mask))
+    assert logits.shape == (batch, k, 64, 32, 1)
+    # masked points should produce strongly negative logits
+    assert np.asarray(logits)[:, -1].max() <= -1e3
+
+    probs = model.apply(variables, image, jnp.asarray(pts),
+                        jnp.asarray(boxes), jnp.asarray(mask),
+                        return_logits=False)
+    pr = np.asarray(probs)
+    assert pr.min() >= 0 and pr.max() <= 1
+    assert pr[:, -1].max() == 0.0
+
+
+def test_rcnet_batchnorm_training_mode(rng):
+    cfg = RCNetConfig(patch_size=(64, 32))
+    model = RCNet(config=cfg)
+    image = jnp.asarray(rng.random((1, 128, 160, 3)).astype(np.float32))
+    pts = jnp.asarray(np.array([[[40, 60, 10.0]]], np.float32))
+    boxes = jnp.asarray(np.array([[[24, 28, 56, 92]]], np.float32))
+    variables = model.init(jax.random.PRNGKey(0), image, pts, boxes,
+                           train=True)
+    assert "batch_stats" in variables
+    out, updates = model.apply(
+        variables, image, pts, boxes, train=True,
+        mutable=["batch_stats"])
+    assert "batch_stats" in updates
