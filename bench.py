@@ -1,0 +1,120 @@
+"""Benchmark: fused RC-Net+SML inference fps/chip at 640x512.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is fps / 500 (the BASELINE.json north-star target; the
+reference repo publishes no numbers of its own).
+
+Timing methodology: the tunneled TPU costs ~30 ms per dispatch round-trip,
+so per-call wall clock measures the tunnel, not the chip.  The benchmark
+runs N pipeline iterations inside one jit via lax.fori_loop with a data
+dependency between iterations, fetches a scalar, and subtracts a small-N
+run - pure device time, which is what a production serving loop (device-
+resident queue) achieves.
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+BATCH = 8
+TARGET_FPS = 500.0
+
+
+def build():
+    from riders_tpu.core.config import ntu_config
+    from riders_tpu.models.rcnet import RCNet
+    from riders_tpu.models.sml import ScaleMapLearner
+    from riders_tpu.pipelines.fused import make_fused_fn
+
+    cfg = ntu_config()
+    # 640x512 frames (the benchmark resolution), NTU patch/threshold preset.
+    cfg = cfg.replace(dataset=dataclasses.replace(
+        cfg.dataset, image_shape=(512, 640), max_points=64))
+
+    rcnet = RCNet(config=cfg.rcnet, dtype=jnp.bfloat16)
+    sml = ScaleMapLearner(config=cfg.sml, dtype=jnp.bfloat16)
+
+    H, W = cfg.dataset.image_shape
+    K = cfg.dataset.max_points
+    ph, pw = cfg.rcnet.patch_size
+    rng = np.random.default_rng(0)
+
+    depth = (5.0 + 50.0 * rng.random((BATCH, H, W))).astype(np.float32)
+    n_real = 40
+    pts = np.zeros((BATCH, K, 3), np.float32)
+    mask = np.zeros((BATCH, K), np.float32)
+    for b in range(BATCH):
+        u = rng.integers(0, W, n_real)
+        v = rng.integers(0, H, n_real)
+        pts[b, :n_real] = np.stack([u, v, depth[b, v, u]], axis=1)
+        mask[b, :n_real] = 1.0
+
+    batch = {
+        "image": jnp.asarray(rng.random((BATCH, H, W, 3)).astype(np.float32)),
+        "mono_pred": jnp.asarray(((1.0 / depth) / 0.05).astype(np.float32)),
+        "radar_points": jnp.asarray(pts),
+        "point_mask": jnp.asarray(mask),
+    }
+
+    # Init params at tiny shapes (conv/linear params are shape-independent;
+    # full-size init would compile a full forward just to draw weights).
+    th, tw = 32 + ph, 32 + pw
+    tiny_img = jnp.zeros((1, th, tw, 3))
+    tiny_pts = jnp.asarray([[[pw / 2, ph / 2, 10.0]]], jnp.float32)
+    tiny_box = jnp.asarray([[[0.0, 0.0, float(pw), float(ph)]]], jnp.float32)
+    rc_vars = jax.jit(rcnet.init)(jax.random.PRNGKey(0), tiny_img, tiny_pts,
+                                  tiny_box, jnp.ones((1, 1), jnp.float32))
+    sml_vars = jax.jit(sml.init)(jax.random.PRNGKey(1),
+                                 jnp.zeros((1, 64, 96, 3)),
+                                 jnp.ones((1, 64, 96, 1)))
+
+    fused = make_fused_fn(cfg, rcnet, sml)
+    return fused, rc_vars, sml_vars, batch
+
+
+def device_time_per_call(fused, rc_vars, sml_vars, batch,
+                         n_small=2, n_big=12):
+    """Per-iteration device seconds via chained on-device loop."""
+
+    @jax.jit
+    def chain(rc_vars, sml_vars, batch, n):
+        def body(i, carry):
+            img = carry
+            depth = fused(rc_vars, sml_vars, {**batch, "image": img})
+            img = img + 1e-12 * depth[..., None]
+            return img
+        return jax.lax.fori_loop(0, n, body, batch["image"])
+
+    _ = np.asarray(chain(rc_vars, sml_vars, batch, n_small).reshape(-1)[0])
+    t0 = time.perf_counter()
+    _ = np.asarray(chain(rc_vars, sml_vars, batch, n_big).reshape(-1)[0])
+    t1 = time.perf_counter()
+    t2 = time.perf_counter()
+    _ = np.asarray(chain(rc_vars, sml_vars, batch, n_small).reshape(-1)[0])
+    t3 = time.perf_counter()
+    return ((t1 - t0) - (t3 - t2)) / (n_big - n_small)
+
+
+def main():
+    fused, rc_vars, sml_vars, batch = build()
+    per_call = device_time_per_call(fused, rc_vars, sml_vars, batch)
+    fps = BATCH / per_call
+    print(json.dumps({
+        "metric": "fused RC-Net+SML inference fps/chip @640x512",
+        "value": round(fps, 1),
+        "unit": "fps",
+        "vs_baseline": round(fps / TARGET_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,89 @@
+"""Device mesh and sharding layout.
+
+The reference's only parallelism is single-host torch DataParallel
+(rcnet_model.py:259-265; SURVEY.md 2.10b documents the absence of TP/PP/SP/
+EP).  The TPU-native design makes parallelism a compile-time sharding over a
+`jax.sharding.Mesh` instead of a runtime replicate-scatter-gather cycle:
+
+* ``data``   - the frame batch axis.  SML batches, RC-Net frame batches and
+               fused-inference streams shard here; gradient reduction is an
+               XLA all-reduce over ICI inserted automatically by jit.
+* ``points`` - the per-frame radar-point patch axis (B x K patches,
+               SURVEY.md 2.10b calls this the domain-specific second
+               parallel axis).  RC-Net's patch decode work shards here,
+               scaling K without touching the frame axis.
+
+Parameters and optimizer state are replicated (the models are ~16M params -
+far below HBM; sharding them would only add collective latency).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+POINTS_AXIS = "points"
+
+
+def make_mesh(n_data: int = -1, n_points: int = 1,
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Build a (data, points) mesh.  n_data=-1 uses all remaining devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data == -1:
+        n_data = len(devices) // n_points
+    used = devices[: n_data * n_points]
+    arr = np.asarray(used).reshape(n_data, n_points)
+    return Mesh(arr, (DATA_AXIS, POINTS_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    """Shard the leading (batch) axis over `data`."""
+    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+
+
+def frame_points_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Shard (B, K, ...) arrays over (data, points)."""
+    return NamedSharding(mesh, P(DATA_AXIS, POINTS_AXIS,
+                                 *([None] * (ndim - 2))))
+
+
+def shard_batch(mesh: Mesh, batch: Dict[str, jax.Array],
+                point_keys: Sequence[str] = ("points", "point_mask",
+                                             "boxes")) -> Dict[str, jax.Array]:
+    """Device-put a host batch with per-key shardings: frame-indexed arrays
+    over `data`, point-bucket arrays over (data, points)."""
+    out = {}
+    for k, v in batch.items():
+        if k in point_keys and v.ndim >= 2:
+            out[k] = jax.device_put(v, frame_points_sharding(mesh, v.ndim))
+        else:
+            out[k] = jax.device_put(v, batch_sharding(mesh, v.ndim))
+    return out
+
+
+def replicate_tree(mesh: Mesh, tree: Any) -> Any:
+    """Replicate a pytree (params / optimizer state) across the mesh."""
+    sharding = replicated(mesh)
+    return jax.device_put(tree, sharding)
+
+
+def with_data_sharding(mesh: Mesh, fn, donate_state: bool = False):
+    """Wrap a (state, batch) -> (state, aux) step with explicit shardings:
+    state replicated, batch sharded on `data` (and `points` where shaped
+    (B, K, ...)).  XLA inserts the gradient all-reduce over ICI."""
+    rep = replicated(mesh)
+
+    def sharded(state, batch):
+        state = jax.device_put(state, rep)
+        batch = shard_batch(mesh, batch)
+        return fn(state, batch)
+
+    return sharded

@@ -1,0 +1,97 @@
+"""Fully-fused three-stage inference: radar points -> metric depth.
+
+One jitted XLA program per batch:
+
+  edge-pad frame -> RC-Net (full-image encode, K-patch decode) ->
+  thresholded confidence composition (quasi-dense radar depth) ->
+  bounded scale alignment of the mono prior -> scale-map synthesis ->
+  SML forward -> bicubic upsample -> dense metric depth
+
+This is the production serving path and the benchmark target
+(BASELINE.json: >=500 fps/chip fused RC-Net+SML at 640x512).  The
+reference runs these as two separate processes communicating through PNG
+files (run_rcnet_zju.py then val_zju.py, SURVEY.md 1 "file-bus"); fusing
+removes the filesystem, the host loops and every intermediate
+quantization.
+
+Note the fused path uses fixed-threshold composition (`compose_patches`);
+the adaptive retry variant is available in the staged pipeline
+(rcnet_inference.py) where frames with empty output re-compose at a decayed
+threshold.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from riders_tpu.core.config import RidersConfig
+from riders_tpu.models.rcnet import RCNet
+from riders_tpu.models.sml import ScaleMapLearner
+from riders_tpu.ops.patches import compose_patches
+from riders_tpu.ops.resize import resize2d
+from riders_tpu.pipelines.rcnet_inference import shift_points_and_boxes
+from riders_tpu.pipelines.sml_inference import prepare_sml_inputs
+
+
+def make_fused_fn(cfg: RidersConfig, rcnet: RCNet, sml: ScaleMapLearner):
+    """Build fn(rc_vars, sml_vars, batch) -> (B, H, W) metric depth.
+
+    batch:
+      image: (B, H, W, 3) frames in [0, 1].
+      mono_pred: (B, H, W) relative inverse-depth prior.
+      radar_points: (B, K, 3) (u, v, z) in unpadded pixel coords.
+      point_mask: (B, K).
+    """
+    patch = cfg.rcnet.patch_size
+    H, W = cfg.dataset.image_shape
+    pad_y, pad_x = patch[0] // 2, patch[1] // 2
+
+    @jax.jit
+    def fused(rc_vars, sml_vars, batch: Dict[str, jnp.ndarray]):
+        image = batch["image"]
+        # Edge-pad on device (rcnet_main.py:441-444).
+        padded = jnp.pad(
+            image, ((0, 0), (pad_y, pad_y), (pad_x, pad_x), (0, 0)),
+            mode="edge")
+
+        points, boxes = shift_points_and_boxes(batch["radar_points"], patch)
+        responses = rcnet.apply(
+            rc_vars, padded, points, boxes, batch["point_mask"],
+            train=False, return_logits=False)[..., 0].astype(jnp.float32)
+
+        quasi_depth, _ = jax.vmap(
+            lambda r, p, m: compose_patches(
+                r, p, m, (H, W), patch, cfg.rcnet.response_threshold))(
+                    responses, points, batch["point_mask"])
+
+        # Scatter the raw radar returns onto the frame grid for the
+        # alignment target (the quasi-dense map already contains them, but
+        # alignment uses only the raw sparse returns - val_zju.py:145-169).
+        radar_sparse = jax.vmap(
+            lambda pts, m: _scatter_points(pts, m, (H, W)))(
+                batch["radar_points"], batch["point_mask"])
+
+        x, d = jax.vmap(
+            lambda img, mono, radar, q: prepare_sml_inputs(
+                cfg, img, mono, radar, q))(
+                    image, batch["mono_pred"], radar_sparse, quasi_depth)
+
+        pred_inv, _ = sml.apply(sml_vars, x, d)
+        depth = resize2d(1.0 / pred_inv, (H, W), "bicubic",
+                         align_corners=False)[..., 0]
+        return depth
+
+    return fused
+
+
+def _scatter_points(points: jnp.ndarray, mask: jnp.ndarray,
+                    shape) -> jnp.ndarray:
+    """Scatter (u, v, z) points to a sparse (H, W) depth map."""
+    H, W = shape
+    u = jnp.clip(points[:, 0].astype(jnp.int32), 0, W - 1)
+    v = jnp.clip(points[:, 1].astype(jnp.int32), 0, H - 1)
+    z = points[:, 2] * mask
+    return jnp.zeros((H, W), jnp.float32).at[v, u].set(z)

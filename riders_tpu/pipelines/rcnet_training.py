@@ -1,0 +1,111 @@
+"""Stage-2 (RC-Net) training: on-device label synthesis + weighted BCE.
+
+Replaces RCNet/rcnet_main.train:257-432.  The host input pipeline supplies
+padded frames, the fixed-K point bucket, patch boxes and per-patch GT depth
+crops; correspondence labels (|gt - radar_z| < max_distance ^ gt > 0) and
+the validity map are synthesized on device (rcnet_main.py:304-332), and the
+positive-class-weighted masked BCE (rcnet_model.py:125-166) additionally
+masks padded bucket slots.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from riders_tpu.core.config import RidersConfig
+from riders_tpu.models.rcnet import RCNet
+from riders_tpu.ops.losses import weighted_bce_with_logits
+from riders_tpu.pipelines.sml_training import TrainState
+
+
+def synthesize_labels(gt_crops: jnp.ndarray,
+                      radar_z: jnp.ndarray,
+                      max_distance: float,
+                      set_invalid_to_negative: bool = False
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Correspondence labels and validity (rcnet_main.py:304-332).
+
+    gt_crops: (B, K, ph, pw, 1) GT depth crops; radar_z: (B, K).
+    A pixel is a positive iff |gt - z| < max_distance and gt > 0; pixels
+    without GT are invalid (excluded from loss) unless
+    `set_invalid_to_negative`.
+    """
+    z = radar_z[:, :, None, None, None]
+    dist = jnp.abs(gt_crops - z)
+    labels = ((dist < max_distance) & (gt_crops > 0)).astype(jnp.float32)
+    if set_invalid_to_negative:
+        validity = jnp.ones_like(gt_crops)
+    else:
+        validity = (gt_crops > 0).astype(jnp.float32)
+    return labels, validity
+
+
+def make_rcnet_lr_schedule(cfg: RidersConfig, steps_per_epoch: int):
+    rates = list(cfg.rcnet_train.learning_rates)
+    bounds = list(cfg.rcnet_train.learning_schedule)
+    boundaries = {int(b * steps_per_epoch): rates[min(i + 1, len(rates) - 1)]
+                  / max(rates[i], 1e-30)
+                  for i, b in enumerate(bounds[:-1])}
+    return optax.piecewise_constant_schedule(rates[0], boundaries)
+
+
+def init_rcnet_train_state(cfg: RidersConfig, model: RCNet,
+                           rng: jax.Array, steps_per_epoch: int
+                           ) -> Tuple[TrainState, optax.GradientTransformation]:
+    H, W = cfg.dataset.image_shape
+    ph, pw = cfg.rcnet.patch_size
+    K = 2
+    image = jnp.zeros((1, H + ph, W + pw, 3))
+    pts = jnp.zeros((1, K, 3))
+    boxes = jnp.tile(jnp.asarray([0.0, 0.0, float(pw), float(ph)]),
+                     (1, K, 1))
+    variables = model.init(rng, image, pts, boxes, train=True)
+    tx = optax.adam(make_rcnet_lr_schedule(cfg, steps_per_epoch))
+    params = variables["params"]
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      batch_stats=variables.get("batch_stats", {}),
+                      opt_state=tx.init(params)), tx
+
+
+def make_rcnet_train_step(cfg: RidersConfig, model: RCNet,
+                          tx: optax.GradientTransformation):
+    """batch: image (B,Hp,Wp,3) padded+normalized, points (B,K,3) in padded
+    coords, boxes (B,K,4), gt_crops (B,K,ph,pw,1), point_mask (B,K)."""
+    t = cfg.rcnet_train
+
+    def loss_fn(params, batch_stats, batch):
+        variables = {"params": params, "batch_stats": batch_stats}
+        logits, updates = model.apply(
+            variables, batch["image"], batch["points"], batch["boxes"],
+            batch["point_mask"], train=True, return_logits=True,
+            mutable=["batch_stats"])
+
+        labels, validity = synthesize_labels(
+            batch["gt_crops"], batch["points"][..., 2],
+            t.max_distance_correspondence, t.set_invalid_to_negative_class)
+        validity = validity * batch["point_mask"][:, :, None, None, None]
+
+        loss = weighted_bce_with_logits(
+            logits, labels, validity, t.w_positive_class)
+        aux = {
+            "loss": loss,
+            "n_positive": jnp.sum(labels * validity),
+            "n_valid": jnp.sum(validity),
+        }
+        return loss, (aux, updates.get("batch_stats", batch_stats))
+
+    @jax.jit
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        (loss, (aux, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats, batch)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(step=state.step + 1, params=new_params,
+                          batch_stats=new_stats, opt_state=new_opt), aux
+
+    return train_step
