@@ -38,7 +38,7 @@ from riders_tpu.models.layers import (
     activation_fn,
     max_pool_same,
 )
-from riders_tpu.ops.patches import roi_pool_pyramid
+from riders_tpu.ops.patches import roi_pool_pyramid_batched
 
 Dtype = Any
 
@@ -157,9 +157,8 @@ class RCNet(nn.Module):
             cfg.n_filters_encoder_image, cfg.activation, cfg.use_batch_norm,
             dtype=self.dtype, name="encoder_image")(image, train)
 
-        pooled_latent, pooled_skips = jax.vmap(
-            lambda feat, sks, bxs: roi_pool_pyramid(
-                feat, sks, bxs, cfg.patch_size))(latent, skips, boxes)
+        pooled_latent, pooled_skips = roi_pool_pyramid_batched(
+            latent, skips, boxes, cfg.patch_size)
         # -> (B, K, h, w, C) each; flatten the frame x point axes.
         flat = lambda t: t.reshape((B * K,) + t.shape[2:])
         pooled_latent = flat(pooled_latent)

@@ -1,0 +1,255 @@
+"""Pallas TPU kernel for fixed-size RoI max pooling.
+
+The XLA formulation (ops/patches.py roi_max_pool) crops one window per
+radar point with vmapped dynamic_slice; XLA lowers the 512-point batch to a
+sequential while loop of HBM round-trips (~4 ms per scale per batch-8 call
+at 640x512).  This kernel streams the windows through VMEM instead:
+
+  grid = (B,); per frame a double-buffered loop over the K points - the
+  next window's HBM->VMEM DMA is in flight while the current window's bin
+  max computes.
+
+Mosaic tiling constraints shape the layout: DMA slice offsets/extents on
+the tiled (last two) dims must be (8,128)-aligned, and C < 128 channels
+can't satisfy that alone - so the (W, C) dims are flattened to one W*C
+lane dim.  Windows then live at lane offset rs_w*C: aligning rs_w down to
+`128/gcd(C,128)` makes the offset provably 128-aligned, and the small
+residual is rotated out with a dynamic lane roll.  Bin maxes use only
+static contiguous slices (uniform-bin scales) or per-bin slices (the tiny
+irregular scales); Mosaic kernels cannot capture constant index arrays.
+
+Semantics identical to ops/patches.py:roi_max_pool - torchvision roi_pool
+with exact integer bin boundaries, _NEG padding reproducing the border
+clamp, empty bins yielding 0.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from riders_tpu.ops.patches import _max_roi, _possible_rois
+
+_NEG = -1e30
+
+
+def _bin_plan(roi_static: int, out_n: int, win_n: int):
+    """Static bin starts/widths with exact integer boundaries."""
+    p = np.arange(out_n)
+    a = np.clip((p * roi_static) // out_n, 0, win_n - 1)
+    z = np.clip(-((-(p + 1) * roi_static) // out_n) - 1, 0, win_n - 1)
+    z = np.maximum(z, a)
+    return a, z - a + 1
+
+
+def _h_bin_max(win: jnp.ndarray, roi_static: int, out_n: int,
+               row_offset: int = 0) -> jnp.ndarray:
+    """Bin max along axis 0 (rows), static slices only; `row_offset`
+    shifts all bins by the DMA alignment residue."""
+    a, widths = _bin_plan(roi_static, out_n, win.shape[0] - row_offset)
+    a = a + row_offset
+    offs = a - np.arange(out_n)
+    if (offs == offs[0]).all() and (widths == widths[0]).all():
+        j = int(offs[0])
+        out = jax.lax.slice_in_dim(win, j, j + out_n, axis=0)
+        for t in range(1, int(widths[0])):
+            out = jnp.maximum(out, jax.lax.slice_in_dim(
+                win, j + t, j + t + out_n, axis=0))
+        return out
+    outs = []
+    for pi in range(out_n):
+        acc = win[int(a[pi]):int(a[pi]) + 1]
+        for t in range(1, int(widths[pi])):
+            acc = jnp.maximum(acc, win[int(a[pi]) + t:int(a[pi]) + t + 1])
+        outs.append(acc)
+    return jnp.concatenate(outs, axis=0)
+
+
+def _w_bin_max_flat(rows: jnp.ndarray, roi_static: int, out_n: int,
+                    win_w: int, C: int, col_offset: int = 0) -> jnp.ndarray:
+    """Bin max along the flattened (W*C) lane axis: element block p covers
+    lanes [a_p*C, (a_p+1)*C); `col_offset` shifts bins by the DMA
+    alignment residue (in W units)."""
+    a, widths = _bin_plan(roi_static, out_n, win_w - col_offset)
+    a = a + col_offset
+    offs = a - np.arange(out_n)
+    if (offs == offs[0]).all() and (widths == widths[0]).all():
+        j = int(offs[0])
+        out = jax.lax.slice_in_dim(rows, j * C, (j + out_n) * C, axis=1)
+        for t in range(1, int(widths[0])):
+            out = jnp.maximum(out, jax.lax.slice_in_dim(
+                rows, (j + t) * C, (j + t + out_n) * C, axis=1))
+        return out
+    outs = []
+    for pi in range(out_n):
+        acc = jax.lax.slice_in_dim(rows, int(a[pi]) * C,
+                                   (int(a[pi]) + 1) * C, axis=1)
+        for t in range(1, int(widths[pi])):
+            acc = jnp.maximum(acc, jax.lax.slice_in_dim(
+                rows, (int(a[pi]) + t) * C, (int(a[pi]) + t + 1) * C,
+                axis=1))
+        outs.append(acc)
+    return jnp.concatenate(outs, axis=1)
+
+
+def roi_max_pool_pallas(feature: jnp.ndarray,
+                        boxes: jnp.ndarray,
+                        scale: float,
+                        out_size: Tuple[int, int],
+                        box_size: Tuple[int, int],
+                        interpret: bool = False) -> jnp.ndarray:
+    """Batched RoI max pool, identical semantics to ops/patches.py
+    roi_max_pool vmapped over (B, K).
+
+    feature: (B, H, W, C); boxes: (B, K, 4) [x1, y1, x2, y2].
+    Returns (B, K, out_h, out_w, C) in the feature dtype.
+    """
+    B, H, W, C = feature.shape
+    K = boxes.shape[1]
+    out_h, out_w = out_size
+    win_h_raw = _max_roi(box_size[0], scale)
+    # Sublane (H) DMA offsets/extents must be 8-aligned in the 3D view:
+    # fetch from the aligned floor with 8 extra rows, roll the residual.
+    win_h = -(-(win_h_raw + 8) // 8) * 8
+    win_w_raw = _max_roi(box_size[1], scale)
+    roi_cases_h = _possible_rois(box_size[0], scale)
+    roi_cases_w = _possible_rois(box_size[1], scale)
+
+    # Lane alignment: window lane offset is rs_w*C; aligning rs_w to
+    # `align` makes it a multiple of 128.
+    align = 128 // math.gcd(C, 128)
+    win_w = -(-(win_w_raw + align) // align) * align
+    lane_w = win_w * C
+    assert lane_w % 128 == 0
+
+    padded = jnp.pad(feature, ((0, 0), (0, win_h), (0, win_w), (0, 0)),
+                     constant_values=jnp.asarray(_NEG, feature.dtype))
+    flat = padded.reshape(B, H + win_h, (W + win_w) * C)
+
+    b32 = boxes.astype(jnp.float32)
+    r = lambda v: jnp.floor(v * scale + 0.5).astype(jnp.int32)
+    rs_w, rs_h = r(b32[..., 0]), r(b32[..., 1])
+    roi_w = jnp.maximum(r(b32[..., 2]) - rs_w + 1, 1)
+    roi_h = jnp.maximum(r(b32[..., 3]) - rs_h + 1, 1)
+    rs_h = jnp.clip(rs_h, 0, H)
+    rs_w = jnp.clip(rs_w, 0, W)
+    rs_w_div = rs_w // align
+    resid_w = rs_w - rs_w_div * align     # in W units; lane roll is *C
+    rs_h_div = rs_h // 8
+    resid_h = rs_h - rs_h_div * 8
+
+    # Chunk the K axis so the (double-buffered) output block fits VMEM.
+    bytes_per_point = out_h * out_w * C * feature.dtype.itemsize
+    kc = K
+    while kc > 1 and kc * bytes_per_point > 2 * 1024 * 1024:
+        kc //= 2
+    while K % kc != 0:
+        kc -= 1
+    n_chunks = K // kc
+
+    def kernel(rshd_ref, residh_ref, rswd_ref, residw_ref, roih_ref,
+               roiw_ref, feat_ref, out_ref, win_scratch, sems):
+        b = pl.program_id(0)
+        c0 = pl.program_id(1) * kc
+
+        def get_dma(slot, j):
+            k = c0 + j
+            return pltpu.make_async_copy(
+                feat_ref.at[b,
+                            pl.ds(rshd_ref[b, k] * 8, win_h),
+                            pl.ds(rswd_ref[b, k] * (align * C), lane_w)],
+                win_scratch.at[slot],
+                sems.at[slot])
+
+        get_dma(0, 0).start()
+
+        def body(j, _):
+            k = c0 + j
+            slot = j % 2
+
+            @pl.when(j + 1 < kc)
+            def _():
+                get_dma((j + 1) % 2, j + 1).start()
+
+            get_dma(slot, j).wait()
+            # Rotate out the alignment residues (dynamic rotate handles
+            # 32-bit lanes only, hence the f32 cast; shifts must be
+            # non-negative).
+            win = win_scratch[slot].astype(jnp.float32)
+            win = pltpu.roll(win, win_h - residh_ref[b, k], 0)
+            win = pltpu.roll(win, lane_w - residw_ref[b, k] * C, 1)
+
+            def h_cases(arr):
+                variants = [_h_bin_max(arr, rc, out_h)
+                            for rc in roi_cases_h]
+                out = variants[0]
+                for rc, v in zip(roi_cases_h[1:], variants[1:]):
+                    out = jnp.where(roih_ref[b, k] == rc, v, out)
+                return out
+
+            def w_cases(arr):
+                variants = [_w_bin_max_flat(arr, rc, out_w, win_w, C)
+                            for rc in roi_cases_w]
+                out = variants[0]
+                for rc, v in zip(roi_cases_w[1:], variants[1:]):
+                    out = jnp.where(roiw_ref[b, k] == rc, v, out)
+                return out
+
+            pooled = w_cases(h_cases(win))
+            pooled = jnp.where(pooled < _NEG * 0.5,
+                               jnp.asarray(0.0, pooled.dtype), pooled)
+            out_ref[0, j] = pooled.astype(out_ref.dtype)
+            return 0
+
+        jax.lax.fori_loop(0, kc, body, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(B, n_chunks),
+        in_specs=[
+            pl.BlockSpec(flat.shape, lambda b, c, *_: (0, 0, 0),
+                         memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, kc, out_h, out_w * C),
+                               lambda b, c, *_: (b, c, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, win_h, lane_w), feature.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, K, out_h, out_w * C),
+                                       feature.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(rs_h_div, resid_h, rs_w_div, resid_w, roi_h, roi_w, flat)
+    return out.reshape(B, K, out_h, out_w, C)
+
+
+def roi_pool_pyramid_pallas(latent: jnp.ndarray,
+                            skips: Sequence[jnp.ndarray],
+                            boxes: jnp.ndarray,
+                            patch_size: Tuple[int, int],
+                            interpret: bool = False
+                            ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+    """Batched multi-scale pooling (RCNet/networks.py:404-433): latent at
+    1/32 plus skips at strides 2..16."""
+    ph, pw = patch_size
+    pooled_skips = []
+    for i, skip in enumerate(skips):
+        s = 1.0 / (2 ** (i + 1))
+        out = (int(ph * s), int(pw * s))
+        pooled_skips.append(
+            roi_max_pool_pallas(skip, boxes, s, out, patch_size, interpret))
+    latent_out = (ph // 32, pw // 32)
+    pooled_latent = roi_max_pool_pallas(latent, boxes, 1.0 / 32.0,
+                                        latent_out, patch_size, interpret)
+    return pooled_latent, pooled_skips

@@ -26,6 +26,7 @@ from typing import List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _NEG = -1e30
 
@@ -48,6 +49,18 @@ def _max_bin_width(out_n: int, win_n: int) -> int:
     return width
 
 
+def _possible_rois(box_extent: int, scale: float) -> Tuple[int, ...]:
+    """All roi sizes round(x2*s)-round(x1*s)+1 can take for integer box
+    coordinates with fixed extent.  Fixed-size boxes yield at most two."""
+    vals = set()
+    denom = 1024  # box coords are integers; sample a full period
+    for x1 in range(denom):
+        rs = math.floor(x1 * scale + 0.5)
+        re = math.floor((x1 + box_extent) * scale + 0.5)
+        vals.add(max(re - rs + 1, 1))
+    return tuple(sorted(vals))
+
+
 def roi_max_pool(feature: jnp.ndarray,
                  boxes: jnp.ndarray,
                  scale: float,
@@ -68,8 +81,8 @@ def roi_max_pool(feature: jnp.ndarray,
     out_h, out_w = out_size
     win_h = _max_roi(box_size[0], scale)
     win_w = _max_roi(box_size[1], scale)
-    taps_h = _max_bin_width(out_h, win_h)
-    taps_w = _max_bin_width(out_w, win_w)
+    roi_cases_h = _possible_rois(box_size[0], scale)
+    roi_cases_w = _possible_rois(box_size[1], scale)
 
     padded = jnp.pad(feature, ((0, win_h), (0, win_w), (0, 0)),
                      constant_values=_NEG)
@@ -88,33 +101,40 @@ def roi_max_pool(feature: jnp.ndarray,
         win = jax.lax.dynamic_slice(
             padded, (rs_h_c, rs_w_c, 0), (win_h, win_w, C))
 
-        def bin_bounds(roi, out_n, win_n):
-            # Bin [floor(p*roi/out), ceil((p+1)*roi/out)); rows beyond the
-            # feature extent carry _NEG from the padding and lose the max,
-            # reproducing torchvision's clamp.  Boundaries use exact integer
-            # arithmetic - torchvision computes them in fp32, which drifts
-            # by one row exactly at integer bin boundaries depending on the
-            # device's fp32 division rounding; integer math is
-            # device-independent and matches the rational definition.
-            p = jnp.arange(out_n, dtype=jnp.int32)
-            a = (p * roi) // out_n                       # floor(p*roi/out)
-            z = -((-(p + 1) * roi) // out_n) - 1         # ceil(..)-1
-            a = jnp.clip(a, 0, win_n - 1)
-            z = jnp.clip(z, 0, win_n - 1)
-            return a, jnp.maximum(z, a)
-
-        def axis_max(arr, axis, a, z, n_taps):
-            # max over the bin via n_taps gathers: idx_t = min(a+t, z).
-            out = jnp.take(arr, a, axis=axis)
-            for t in range(1, n_taps):
-                out = jnp.maximum(
-                    out, jnp.take(arr, jnp.minimum(a + t, z), axis=axis))
+        def static_axis_max(arr, axis, roi_static, out_n, win_n):
+            # Bin [floor(p*roi/out), ceil((p+1)*roi/out)) with a STATIC roi:
+            # indices are compile-time constants, so XLA lowers the bin max
+            # to slices instead of dynamic gathers (the dynamic-gather form
+            # was ~100x slower on TPU).  Rows beyond the feature extent
+            # carry _NEG from the padding and lose the max, reproducing
+            # torchvision's clamp; boundaries use exact integer arithmetic
+            # (torchvision's fp32 drifts by one row at exact-integer
+            # boundaries depending on device division rounding).
+            p = np.arange(out_n)
+            a = np.clip((p * roi_static) // out_n, 0, win_n - 1)
+            z = np.clip(-((-(p + 1) * roi_static) // out_n) - 1,
+                         0, win_n - 1)
+            z = np.maximum(z, a)
+            width = int((z - a).max()) + 1
+            out = jnp.take(arr, jnp.asarray(a), axis=axis)
+            for t in range(1, width):
+                idx = jnp.asarray(np.minimum(a + t, z))
+                out = jnp.maximum(out, jnp.take(arr, idx, axis=axis))
             return out
 
-        ha, hz = bin_bounds(roi_h, out_h, win_h)
-        wa, wz = bin_bounds(roi_w, out_w, win_w)
-        rows = axis_max(win, 0, ha, hz, taps_h)
-        pooled = axis_max(rows, 1, wa, wz, taps_w)
+        def axis_max_cases(arr, axis, roi, out_n, win_n, roi_cases):
+            # Fixed-size boxes admit at most two roi sizes per axis
+            # (rounding of the scaled start); compute each static variant
+            # and select by the traced roi value.
+            variants = [static_axis_max(arr, axis, r, out_n, win_n)
+                        for r in roi_cases]
+            out = variants[0]
+            for r, v in zip(roi_cases[1:], variants[1:]):
+                out = jnp.where(roi == r, v, out)
+            return out
+
+        rows = axis_max_cases(win, 0, roi_h, out_h, win_h, roi_cases_h)
+        pooled = axis_max_cases(rows, 1, roi_w, out_w, win_w, roi_cases_w)
         # Regions that fell entirely outside the feature yield 0
         # (torchvision empty-bin convention).
         return jnp.where(pooled < _NEG * 0.5, 0.0, pooled)
@@ -208,6 +228,61 @@ def compose_patches(responses: jnp.ndarray,
     depth = jnp.where(max_r > 0, sum_rz / jnp.where(sum_r > 0, sum_r, 1.0),
                       0.0)
     return depth, max_r
+
+
+def roi_pool_pyramid_batched(latent: jnp.ndarray,
+                             skips: Sequence[jnp.ndarray],
+                             boxes: jnp.ndarray,
+                             patch_size: Tuple[int, int],
+                             use_pallas: bool | None = None
+                             ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+    """Batched multi-scale RoI pooling over (B, K) boxes.
+
+    On TPU this dispatches to the Pallas double-buffered window-DMA kernel
+    (ops/pallas/roi_pool.py, ~8x the vmapped dynamic-slice formulation);
+    elsewhere it vmaps the XLA version.  Results are identical.
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
+    if use_pallas:
+        from riders_tpu.ops.pallas.roi_pool import roi_pool_pyramid_pallas
+        return roi_pool_pyramid_pallas(latent, skips, boxes, patch_size)
+    return jax.vmap(
+        lambda lat, sks, bxs: roi_pool_pyramid(lat, sks, bxs, patch_size))(
+            latent, skips, boxes)
+
+
+def compose_patches_batched(responses: jnp.ndarray,
+                            points: jnp.ndarray,
+                            point_mask: jnp.ndarray,
+                            image_shape: Tuple[int, int],
+                            patch_size: Tuple[int, int],
+                            response_threshold: jnp.ndarray | float,
+                            use_pallas: bool | None = None
+                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched composition over (B, K, ph, pw) responses.
+
+    On TPU this dispatches to the Pallas VMEM kernel
+    (ops/pallas/compose.py, >100x the scan formulation); elsewhere it vmaps
+    the XLA scan version.  Both produce bit-identical results.
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
+    if use_pallas:
+        from riders_tpu.ops.pallas.compose import compose_patches_pallas
+        return compose_patches_pallas(
+            responses, points, point_mask, image_shape, patch_size,
+            response_threshold)
+    if jnp.ndim(response_threshold) > 0:
+        return jax.vmap(
+            lambda r, p, m, t: compose_patches(
+                r, p, m, image_shape, patch_size, t))(
+                    responses, points, point_mask,
+                    jnp.asarray(response_threshold))
+    return jax.vmap(
+        lambda r, p, m: compose_patches(
+            r, p, m, image_shape, patch_size, response_threshold))(
+                responses, points, point_mask)
 
 
 def adaptive_compose(responses: jnp.ndarray,

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from riders_tpu.core.config import RidersConfig
 from riders_tpu.models.rcnet import RCNet
 from riders_tpu.models.sml import ScaleMapLearner
-from riders_tpu.ops.patches import compose_patches
+from riders_tpu.ops.patches import compose_patches_batched
 from riders_tpu.ops.resize import resize2d
 from riders_tpu.pipelines.rcnet_inference import shift_points_and_boxes
 from riders_tpu.pipelines.sml_inference import prepare_sml_inputs
@@ -62,10 +62,9 @@ def make_fused_fn(cfg: RidersConfig, rcnet: RCNet, sml: ScaleMapLearner):
             rc_vars, padded, points, boxes, batch["point_mask"],
             train=False, return_logits=False)[..., 0].astype(jnp.float32)
 
-        quasi_depth, _ = jax.vmap(
-            lambda r, p, m: compose_patches(
-                r, p, m, (H, W), patch, cfg.rcnet.response_threshold))(
-                    responses, points, batch["point_mask"])
+        quasi_depth, _ = compose_patches_batched(
+            responses, points, batch["point_mask"], (H, W), patch,
+            cfg.rcnet.response_threshold)
 
         # Scatter the raw radar returns onto the frame grid for the
         # alignment target (the quasi-dense map already contains them, but
