@@ -80,23 +80,37 @@ def compose_patches_pallas(responses: jnp.ndarray,
     else:
         thr = jnp.full((B,), response_threshold, jnp.float32)
 
+    # Chunk the K axis across grid steps (canvases persist in scratch) so
+    # the tile-padded response block fits VMEM at any batch size.
+    kc = K
+    while kc > 8:
+        kc //= 2
+    while K % kc != 0:
+        kc -= 1
+    n_chunks = K // kc
+
     def kernel(y0_ref, x0_ref, z_ref, thr_ref, resp_ref,
                depth_out, resp_out, sum_r, sum_rz, max_r):
         b = pl.program_id(0)
+        c = pl.program_id(1)
         t = thr_ref[b]
-        zero = jnp.zeros((ch, cw), jnp.float32)
-        sum_r[:] = zero
-        sum_rz[:] = zero
-        max_r[:] = zero
 
-        def body(k, _):
+        @pl.when(c == 0)
+        def _():
+            zero = jnp.zeros((ch, cw), jnp.float32)
+            sum_r[:] = zero
+            sum_rz[:] = zero
+            max_r[:] = zero
+
+        def body(j, _):
+            k = c * kc + j
             ya = (y0_ref[b, k] // 8) * 8
             xa = (x0_ref[b, k] // 128) * 128
             ry = y0_ref[b, k] - ya
             rx = x0_ref[b, k] - xa
             zk = z_ref[b, k]
 
-            crop = resp_ref[0, k]
+            crop = resp_ref[0, j]
             crop = jnp.where(crop < t, 0.0, crop)
             placed = jnp.pad(crop, ((0, win_h - ph), (0, win_w - pw)))
             placed = pltpu.roll(placed, ry, 0)
@@ -108,23 +122,27 @@ def compose_patches_pallas(responses: jnp.ndarray,
             max_r[ys, xs] = jnp.maximum(max_r[ys, xs], placed)
             return 0
 
-        jax.lax.fori_loop(0, K, body, 0)
+        jax.lax.fori_loop(0, kc, body, 0)
 
-        m = max_r[crop_y:crop_y + H, crop_x:crop_x + W]
-        s = sum_r[crop_y:crop_y + H, crop_x:crop_x + W]
-        sz = sum_rz[crop_y:crop_y + H, crop_x:crop_x + W]
-        depth_out[0] = jnp.where(m > 0, sz / jnp.where(s > 0, s, 1.0), 0.0)
-        resp_out[0] = m
+        @pl.when(c == n_chunks - 1)
+        def _():
+            m = max_r[crop_y:crop_y + H, crop_x:crop_x + W]
+            s = sum_r[crop_y:crop_y + H, crop_x:crop_x + W]
+            sz = sum_rz[crop_y:crop_y + H, crop_x:crop_x + W]
+            depth_out[0] = jnp.where(m > 0,
+                                     sz / jnp.where(s > 0, s, 1.0), 0.0)
+            resp_out[0] = m
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,      # y0, x0, z, thr
-        grid=(B,),
+        grid=(B, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, K, ph, pw), lambda b, *_: (b, 0, 0, 0)),
+            pl.BlockSpec((1, kc, ph, pw),
+                         lambda b, c, *_: (b, c, 0, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((1, H, W), lambda b, *_: (b, 0, 0)),
-            pl.BlockSpec((1, H, W), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec((1, H, W), lambda b, c, *_: (b, 0, 0)),
+            pl.BlockSpec((1, H, W), lambda b, c, *_: (b, 0, 0)),
         ),
         scratch_shapes=[
             pltpu.VMEM((ch, cw), jnp.float32),
