@@ -64,8 +64,10 @@ def compose_patches_pallas(responses: jnp.ndarray,
     # Patch window: aligned start + rolled residual placement.
     win_h = _round_up(ph + 8, 8)
     win_w = _round_up(pw + 128, 128)
-    ch = _round_up(Hp + off_y + win_h - ph + 8, 8)
-    cw = _round_up(Wp + off_x + win_w - pw + 128, 128)
+    # Largest window write position: placement start <= (Hp-ph)+off_y and
+    # <= (Wp-pw)+off_x.
+    ch = _round_up(Hp - ph + off_y + win_h, 8)
+    cw = _round_up(Wp - pw + off_x + win_w, 128)
 
     u = jnp.round(points[..., 0]).astype(jnp.int32)
     v = jnp.round(points[..., 1]).astype(jnp.int32)
