@@ -1,0 +1,133 @@
+"""Logging, metric tables and profiling hooks.
+
+Covers the reference's three observability channels (SURVEY.md 5.5):
+console+file ``log`` (utils/log_utils.py:7-29), hyperparameter dump
+``log_params`` (:67-70), the 7-metric evaluation table
+(``log_evaluation_results``, :74-98), and scalar summaries.  TensorBoard
+image mosaics are replaced by a dependency-light JSONL scalar stream
+(`ScalarWriter`) that TensorBoard-less environments can also consume, plus
+optional TB event writing when tensorboardX/tf is importable.
+
+Profiling (SURVEY.md 5.1 - the reference has only wall-clock prints) is
+first-class: ``StepTimer`` tracks per-stage step times with elapsed/
+remaining estimates (train_zju.py:412-417), and ``trace`` wraps
+jax.profiler for on-demand device traces.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import os
+import time
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+
+def log(message: str, filepath: Optional[str] = None) -> None:
+    """Console + append-to-file logging (log_utils.py:7-29)."""
+    print(message)
+    if filepath:
+        os.makedirs(os.path.dirname(filepath) or ".", exist_ok=True)
+        with open(filepath, "a") as f:
+            f.write(message + "\n")
+
+
+def log_params(filepath: Optional[str], params: Dict[str, Any]) -> None:
+    """Dump a configuration/kwargs mapping (log_utils.py:67-70)."""
+    for k in sorted(params):
+        log(f"{k}={params[k]}", filepath)
+
+
+def log_evaluation_results(title: str, results: Dict[str, float],
+                           step: int = -1,
+                           log_path: Optional[str] = None) -> None:
+    """7-metric table printer (log_utils.py:74-98 format)."""
+    log(title + ":", log_path)
+    keys = ["mae", "rmse", "imae", "irmse", "abs_rel", "sq_rel", "delta1"]
+    header = "{:>8}  ".format("step") + "".join(
+        "{:>10}  ".format(k.upper()) for k in keys)
+    row = "{:>8}  ".format(step) + "".join(
+        "{:>10.4f}  ".format(float(results[k])) for k in keys)
+    log(header, log_path)
+    log(row, log_path)
+
+
+class ScalarWriter:
+    """JSONL scalar stream with optional TensorBoard mirroring."""
+
+    def __init__(self, directory: str, tag: str = "train"):
+        os.makedirs(directory, exist_ok=True)
+        self.path = os.path.join(directory, f"scalars-{tag}.jsonl")
+        self._file = open(self.path, "a")
+        self._tb = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter  # optional
+            self._tb = SummaryWriter(os.path.join(directory, f"tb-{tag}"))
+        except Exception:
+            pass
+
+    def write(self, step: int, scalars: Dict[str, Any]) -> None:
+        rec = {"step": int(step)}
+        for k, v in scalars.items():
+            try:
+                rec[k] = float(np.asarray(v))
+            except Exception:
+                continue
+        self._file.write(json.dumps(rec) + "\n")
+        self._file.flush()
+        if self._tb is not None:
+            for k, v in rec.items():
+                if k != "step":
+                    self._tb.add_scalar(k, v, step)
+
+    def close(self) -> None:
+        self._file.close()
+        if self._tb is not None:
+            self._tb.close()
+
+
+class StepTimer:
+    """Per-step timing with elapsed/remaining estimates
+    (train_zju.py:412-417, rcnet_main.py:413-418)."""
+
+    def __init__(self, total_steps: int):
+        self.total_steps = total_steps
+        self.start = time.time()
+        self.steps = 0
+
+    def tick(self, n: int = 1) -> None:
+        self.steps += n
+
+    def stats(self) -> Dict[str, float]:
+        elapsed = time.time() - self.start
+        rate = self.steps / elapsed if elapsed > 0 else 0.0
+        remaining = ((self.total_steps - self.steps) / rate
+                     if rate > 0 else float("inf"))
+        return {
+            "elapsed_h": elapsed / 3600.0,
+            "remaining_h": remaining / 3600.0,
+            "steps_per_s": rate,
+        }
+
+    def format(self) -> str:
+        s = self.stats()
+        return (f"Step={self.steps:6d}/{self.total_steps} "
+                f"Elapsed={s['elapsed_h']:.2f}h "
+                f"Remaining={s['remaining_h']:.2f}h "
+                f"({s['steps_per_s']:.2f} it/s)")
+
+
+@contextlib.contextmanager
+def trace(log_dir: Optional[str]):
+    """jax.profiler trace context; no-op when log_dir is None."""
+    if log_dir is None:
+        yield
+        return
+    import jax
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

@@ -52,7 +52,7 @@ def save_depth(z: np.ndarray, path: str, multiplier: float = DEPTH_MULTIPLIER) -
     (data_utils.py:128-143)."""
     depth = np.uint32(np.asarray(z) * multiplier)
     if depth.max(initial=0) <= np.iinfo(np.uint16).max:
-        Image.fromarray(depth.astype(np.uint16), mode="I;16").save(path)
+        Image.fromarray(depth.astype(np.uint16)).save(path)
     else:
         Image.fromarray(depth.astype(np.int32), mode="I").save(path)
 
@@ -67,7 +67,7 @@ def save_response(response: np.ndarray, path: str,
     """Save an RC-Net response map (data_utils.py:213-228)."""
     r = np.uint32(np.asarray(response) * multiplier)
     if r.max(initial=0) <= np.iinfo(np.uint16).max:
-        Image.fromarray(r.astype(np.uint16), mode="I;16").save(path)
+        Image.fromarray(r.astype(np.uint16)).save(path)
     else:
         Image.fromarray(r.astype(np.int32), mode="I").save(path)
 

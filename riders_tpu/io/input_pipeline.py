@@ -1,0 +1,337 @@
+"""Host input pipeline: dataset loading, augmentation, batching, prefetch.
+
+Replaces the torch DataLoader stacks of the reference:
+
+* ``SMLFrameDataset`` - the UTV sextuple loader (data/UTV_dataset.py:124-225)
+  with its augmentations: crop-then-resize-back (:20-120), horizontal flip
+  (:202-209), radar depth noise (:211-217), random rcnet-threshold swap
+  (:183-186) and the all-zero-rcnet fallback to raw radar (:188-190), plus
+  the HSV photometric augmentations of modules/midas/transforms.py:241-301.
+* ``RCNetTrainDataset`` - the patch-training loader (data/datasets.py:119-
+  288): edge-pad, sample `points_per_frame` radar points (repeat x100 when
+  sparse), 10%-probability lidar pseudo-radar with x/z noise, per-point
+  boxes and GT crops; photometric augmentation follows
+  RCNet/rcnet_transforms.py semantics on the host.
+* ``BatchLoader`` - threaded prefetching batcher feeding `jax.device_put`,
+  replacing DataLoader worker processes.  Transfers overlap compute: the
+  tunnel costs ~30 ms/dispatch, so batches are staged to the device ahead
+  of consumption.
+
+All emitted arrays are shape-static: images at the configured frame size,
+point lists padded to the `max_points` bucket with masks.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+import jax
+
+from riders_tpu.core.config import RidersConfig
+from riders_tpu.io import depthio
+from riders_tpu.io.manifest import FrameRecord, swap_rcnet_threshold
+
+
+def _crop_resize_back(arrays: List[np.ndarray], shape, rng) -> List[np.ndarray]:
+    """Random crop then resize back to original size
+    (UTV_dataset.py:20-120, crop_type=['horizontal','vertical'])."""
+    import cv2
+    n_h, n_w = shape
+    o_h, o_w = arrays[0].shape[:2]
+    d_h, d_w = o_h - n_h, o_w - n_w
+    x_start = rng.integers(0, max(d_w, 1))
+    y_start = d_h // 2
+    if rng.random() <= 0.30 and d_h > 0:
+        y_start = rng.integers(0, d_h)
+    out = []
+    for a in arrays:
+        c = a[y_start:y_start + n_h, x_start:x_start + n_w]
+        out.append(cv2.resize(c, (o_w, o_h)))
+    return out
+
+
+def _hsv_adjust(image: np.ndarray, rng, brightness=None, contrast=None,
+                saturation=None) -> np.ndarray:
+    """HSV-channel photometric augmentation
+    (modules/midas/transforms.py:241-301; each applied with p=0.5)."""
+    import cv2
+    img = image
+    if brightness is not None and rng.random() < 0.5:
+        hsv = cv2.cvtColor(img, cv2.COLOR_RGB2HSV)
+        hsv[:, :, 2] = hsv[:, :, 2] * rng.uniform(*brightness)
+        img = cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
+    if contrast is not None and rng.random() < 0.5:
+        hsv = cv2.cvtColor(img, cv2.COLOR_RGB2HSV)
+        hsv[:, :, 1] = hsv[:, :, 1] * rng.uniform(*contrast)
+        img = cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
+    if saturation is not None and rng.random() < 0.5:
+        hsv = cv2.cvtColor(img, cv2.COLOR_RGB2HSV)
+        hsv[:, :, 1] = hsv[:, :, 1] * rng.uniform(*saturation)
+        img = cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
+    return img
+
+
+class SMLFrameDataset:
+    """Per-frame loader for the stage-1/3 pipeline."""
+
+    def __init__(self, cfg: RidersConfig, records: Sequence[FrameRecord],
+                 train: bool = False, seed: int = 0):
+        self.cfg = cfg
+        self.records = list(records)
+        self.train = train
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        return len(self.records)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        cfg = self.cfg
+        t = cfg.sml_train
+        rec = self.records[index]
+
+        image = depthio.read_image_unit(rec.image)
+        mono_pred = depthio.load_depth(rec.mono_pred)
+        if rec.radar and rec.radar.endswith(".npy"):
+            pts = depthio.load_radar_points(rec.radar)
+            radar = depthio.scatter_points_to_map(pts, mono_pred.shape)
+        else:
+            radar = depthio.load_depth(rec.radar)
+        gt_interp = depthio.load_depth(rec.gt_interp)
+        gt_sparse = depthio.load_depth(rec.gt_sparse)
+
+        rcnet_path = rec.rcnet
+        if rcnet_path is not None:
+            if self.train and t.random_rcnet_thresholds:
+                thr = self.rng.choice(list(t.random_rcnet_thresholds))
+                rcnet_path = swap_rcnet_threshold(rec, float(thr))
+            rcnet = depthio.load_depth(rcnet_path)
+            if rcnet.sum() == 0:
+                # empty quasi-dense map falls back to raw radar
+                # (UTV_dataset.py:188-190)
+                rcnet = radar.copy()
+        else:
+            rcnet = radar.copy()
+
+        if self.train:
+            if t.random_crop_size is not None and self.rng.random() > 0.2:
+                image_c, mono_c, radar_c, gi_c, gs_c, rc_c = \
+                    _crop_resize_back(
+                        [image, mono_pred, radar, gt_interp, gt_sparse,
+                         rcnet], t.random_crop_size, self.rng)
+                image, mono_pred, radar = image_c, mono_c, radar_c
+                gt_interp, gt_sparse, rcnet = gi_c, gs_c, rc_c
+            if t.random_flip and self.rng.random() > 0.5:
+                image = np.ascontiguousarray(image[:, ::-1])
+                mono_pred = np.ascontiguousarray(mono_pred[:, ::-1])
+                radar = np.ascontiguousarray(radar[:, ::-1])
+                gt_interp = np.ascontiguousarray(gt_interp[:, ::-1])
+                gt_sparse = np.ascontiguousarray(gt_sparse[:, ::-1])
+                rcnet = np.ascontiguousarray(rcnet[:, ::-1])
+            if t.random_radar_noise is not None and self.rng.random() > 0.5:
+                lo, hi = t.random_radar_noise
+                valid = radar > 0
+                radar = radar.copy()
+                radar[valid] += self.rng.normal(
+                    lo, hi, int(valid.sum())).astype(np.float32)
+            image = _hsv_adjust(image.astype(np.float32), self.rng)
+
+        return {
+            "image": image.astype(np.float32),
+            "mono_pred": mono_pred.astype(np.float32),
+            "radar": radar.astype(np.float32),
+            "gt_interp": gt_interp.astype(np.float32),
+            "gt_sparse": gt_sparse.astype(np.float32),
+            "rcnet": rcnet.astype(np.float32),
+        }
+
+
+class RCNetTrainDataset:
+    """Per-frame loader for RC-Net training (data/datasets.py:119-288)."""
+
+    def __init__(self, cfg: RidersConfig, records: Sequence[FrameRecord],
+                 seed: int = 0):
+        self.cfg = cfg
+        self.records = list(records)
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        return len(self.records)
+
+    def _photometric(self, image01: np.ndarray) -> np.ndarray:
+        """Batch-level photometric aug (rcnet_transforms.py:105-175
+        semantics, applied per sample on the host): brightness/contrast/
+        saturation each with p=0.5, factors U(range)."""
+        t = self.cfg.rcnet_train
+        img = image01
+        if self.rng.random() < 0.5 * t.augmentation_probability:
+            img = np.clip(img * self.rng.uniform(*t.random_brightness),
+                          0.0, 1.0)
+        if self.rng.random() < 0.5 * t.augmentation_probability:
+            mean = img.mean()
+            img = np.clip((img - mean) * self.rng.uniform(*t.random_contrast)
+                          + mean, 0.0, 1.0)
+        if self.rng.random() < 0.5 * t.augmentation_probability:
+            gray = (0.299 * img[..., 0] + 0.587 * img[..., 1]
+                    + 0.114 * img[..., 2])[..., None]
+            img = np.clip(gray + (img - gray)
+                          * self.rng.uniform(*t.random_saturation), 0.0, 1.0)
+        return img.astype(np.float32)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        cfg = self.cfg
+        t = cfg.rcnet_train
+        ph, pw = cfg.rcnet.patch_size
+        pad_y, pad_x = ph // 2, pw // 2
+        rec = self.records[index]
+
+        image = depthio.load_image(rec.image, normalize=True)
+        image = np.pad(image, ((pad_y, pad_y), (pad_x, pad_x), (0, 0)),
+                       mode="edge")
+        image = self._photometric(image)
+
+        points = depthio.load_radar_points(rec.radar)
+        # Sample a fixed point count; sparse frames repeat x100 first
+        # (datasets.py:203-206).
+        if points.shape[0] <= t.points_per_frame:
+            points = np.repeat(points, 100, axis=0)
+        idx = self.rng.integers(0, points.shape[0], t.points_per_frame)
+        points = points[idx].astype(np.float32)
+
+        gt = depthio.load_depth(rec.gt_interp)
+
+        # Pseudo-radar from perturbed lidar (datasets.py:214-240).
+        if self.rng.random() < t.sample_probability_of_lidar:
+            ly, lx = np.where(gt > 1)
+            if len(ly) >= t.points_per_frame:
+                pick = self.rng.choice(len(ly), t.points_per_frame,
+                                       replace=False)
+                px = lx[pick] + self.rng.normal(0, 25, t.points_per_frame)
+                px = np.clip(px, 0, gt.shape[1]).astype(np.int64)
+                pz = gt[ly[pick], lx[pick]] + self.rng.uniform(
+                    0.0, 0.5, t.points_per_frame)
+                points = np.stack(
+                    [px.astype(np.float32),
+                     points[:, 1],  # y kept erroneous, as in the reference
+                     pz.astype(np.float32)], axis=1)
+
+        # Shift to padded coordinates, build boxes and GT crops
+        # (datasets.py:242-276).
+        points[:, 0] += pad_x
+        points[:, 1] += pad_y
+        boxes = np.stack([points[:, 0] - pad_x, points[:, 1] - pad_y,
+                          points[:, 0] + pad_x, points[:, 1] + pad_y],
+                         axis=1).astype(np.float32)
+
+        gt_pad = np.pad(gt, ((pad_y, pad_y), (pad_x, pad_x)),
+                        mode="constant")
+        crops = np.zeros((t.points_per_frame, ph, pw, 1), np.float32)
+        for i in range(t.points_per_frame):
+            y0 = int(points[i, 1]) - pad_y
+            x0 = int(points[i, 0]) - pad_x
+            crops[i, :, :, 0] = gt_pad[y0:y0 + ph, x0:x0 + pw]
+
+        return {
+            "image": image,
+            "points": points,
+            "boxes": boxes,
+            "gt_crops": crops,
+            "point_mask": np.ones(t.points_per_frame, np.float32),
+        }
+
+
+class RCNetInferenceDataset:
+    """Per-frame loader for stage-2 inference (data/datasets.py:294-372):
+    full padded frame plus the fixed-K point bucket."""
+
+    def __init__(self, cfg: RidersConfig, records: Sequence[FrameRecord]):
+        self.cfg = cfg
+        self.records = list(records)
+
+    def __len__(self) -> int:
+        return len(self.records)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        cfg = self.cfg
+        rec = self.records[index]
+        image = depthio.load_image(rec.image, normalize=True)
+        from riders_tpu.pipelines.rcnet_inference import pad_image_for_patches
+        image = pad_image_for_patches(image, cfg.rcnet.patch_size)
+        points = depthio.load_radar_points(rec.radar)
+        pts, mask = depthio.pad_points(points, cfg.dataset.max_points)
+        return {"image": image.astype(np.float32), "points": pts,
+                "point_mask": mask}
+
+
+def _stack(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+
+class BatchLoader:
+    """Threaded batcher with device prefetch.
+
+    Workers pull sample indices, run the dataset's __getitem__, and a
+    collator thread stacks + device_puts finished batches; `prefetch`
+    batches are staged ahead (the reference relies on DataLoader worker
+    processes, train_zju.py:133-148)."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 num_threads: int = 4, prefetch: int = 2, seed: int = 0,
+                 drop_last: bool = True, device_put: bool = True,
+                 sharding=None):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_threads = max(1, num_threads)
+        self.prefetch = prefetch
+        self.rng = np.random.default_rng(seed)
+        self.drop_last = drop_last
+        self.device_put = device_put
+        self.sharding = sharding
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def epoch(self) -> Iterator[Dict[str, "jax.Array"]]:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        n_batches = len(self)
+        batches = [order[i * self.batch_size:(i + 1) * self.batch_size]
+                   for i in range(n_batches)]
+
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                from concurrent.futures import ThreadPoolExecutor
+                with ThreadPoolExecutor(self.num_threads) as pool:
+                    for idxs in batches:
+                        if stop.is_set():
+                            return
+                        samples = list(pool.map(
+                            self.dataset.__getitem__, idxs))
+                        batch = _stack(samples)
+                        if self.device_put:
+                            batch = (jax.device_put(batch, self.sharding)
+                                     if self.sharding is not None
+                                     else jax.device_put(batch))
+                        out_q.put(batch)
+            finally:
+                out_q.put(None)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                batch = out_q.get()
+                if batch is None:
+                    break
+                yield batch
+        finally:
+            stop.set()

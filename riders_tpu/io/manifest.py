@@ -76,6 +76,11 @@ def build_manifest(cfg: DatasetConfig,
                 raise ValueError(
                     f"Modality count mismatch in scene {scene}: {counts}")
 
+        if not images:
+            raise ValueError(
+                f"Scene {scene!r} has no frames under "
+                f"{os.path.join(scene_root, cfg.image_dir)!r} - wrong root "
+                "or scene name?")
         for i, image in enumerate(images):
             records.append(FrameRecord(
                 scene=scene,

@@ -114,6 +114,44 @@ def optimize_scale(prediction: jnp.ndarray,
     return 0.5 * (lo + hi)
 
 
+def scale_shift_ransac(prediction: jnp.ndarray,
+                       target: jnp.ndarray,
+                       mask: jnp.ndarray,
+                       rng: jax.Array,
+                       num_iterations: int = 60,
+                       sample_size: int = 5,
+                       inlier_threshold: float = 0.02
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """RANSAC scale+shift estimation (estimator.py:32-87), device-native.
+
+    The reference samples `sample_size` valid pixels per iteration, solves
+    the 2x2 LS system, counts inliers, and keeps the best.  Here all
+    `num_iterations` hypotheses evaluate in parallel (vmapped) - no
+    early-exit, fixed shapes.  Sampling uses Gumbel top-k over the valid
+    mask so invalid pixels are never selected.
+    """
+    p = prediction.reshape(-1).astype(jnp.float32)
+    t = target.reshape(-1).astype(jnp.float32)
+    m = mask.reshape(-1).astype(jnp.float32)
+
+    def one_hypothesis(key):
+        # Gumbel top-k over valid entries = uniform sample w/o replacement.
+        g = jax.random.gumbel(key, p.shape)
+        scores = jnp.where(m > 0, g, -jnp.inf)
+        _, idx = jax.lax.top_k(scores, sample_size)
+        ps, ts = p[idx], t[idx]
+        ones = jnp.ones_like(ps)
+        scale, shift = scale_shift_ls(ps, ts, ones)
+        residual = jnp.abs(p * scale + shift - t)
+        inliers = jnp.sum((residual < inlier_threshold) * m)
+        return scale, shift, inliers
+
+    keys = jax.random.split(rng, num_iterations)
+    scales, shifts, inliers = jax.vmap(one_hypothesis)(keys)
+    best = jnp.argmax(inliers)
+    return scales[best], shifts[best]
+
+
 def clamp_inverse_depth(output: jnp.ndarray,
                         clamp_min: float | None = None,
                         clamp_max: float | None = None) -> jnp.ndarray:

@@ -1,0 +1,152 @@
+"""Integration test: a synthetic on-disk mini-dataset driven through the
+manifest -> input pipeline -> training/inference/validation drivers, using
+the reference's PNG interchange formats end to end (SURVEY.md 4)."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+from riders_tpu.core.config import zju_config
+from riders_tpu.io import depthio
+
+
+def make_mini_dataset(root, scenes, n_frames=3, H=96, W=128, seed=0):
+    """Synthetic scenes with known geometry: smooth depth field, radar
+    returns sampled from it, interpolated GT = the true field."""
+    rng = np.random.default_rng(seed)
+    for scene in scenes:
+        for d in ("thermal_undistort", "any", "radar_png", "lidar_png",
+                  "lidar_png_int"):
+            os.makedirs(os.path.join(root, scene, d), exist_ok=True)
+        os.makedirs(os.path.join(root, "output", "rcnet_0.1", scene,
+                                 "depth_predicted"), exist_ok=True)
+        for f in range(n_frames):
+            fid = f"{f:06d}"
+            yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+            depth = 5.0 + 30.0 * (yy / H) + 10.0 * (xx / W) \
+                + rng.random((H, W)).astype(np.float32)
+            image = np.clip(rng.random((H, W, 3)) * 255, 0, 255
+                            ).astype(np.uint8)
+            from PIL import Image
+            Image.fromarray(image).save(
+                os.path.join(root, scene, "thermal_undistort", fid + ".png"))
+            # mono prior: inverse depth / 0.05, stored via the x256 codec
+            mono = (1.0 / depth) / 0.05
+            depthio.save_depth(mono, os.path.join(root, scene, "any",
+                                                  fid + ".png"))
+            radar = np.zeros((H, W), np.float32)
+            idx = rng.integers(0, H * W, 25)
+            radar.reshape(-1)[idx] = depth.reshape(-1)[idx]
+            depthio.save_depth(radar, os.path.join(root, scene, "radar_png",
+                                                   fid + ".png"))
+            sparse_gt = np.zeros((H, W), np.float32)
+            idx = rng.integers(0, H * W, 300)
+            sparse_gt.reshape(-1)[idx] = depth.reshape(-1)[idx]
+            depthio.save_depth(sparse_gt, os.path.join(
+                root, scene, "lidar_png", fid + ".png"))
+            depthio.save_depth(depth, os.path.join(
+                root, scene, "lidar_png_int", fid + ".png"))
+            depthio.save_depth(radar, os.path.join(
+                root, "output", "rcnet_0.1", scene, "depth_predicted",
+                fid + ".png"))
+
+
+@pytest.fixture(scope="module")
+def mini_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("mini_zju"))
+    make_mini_dataset(root, ["scene-a", "scene-b"])
+    return root
+
+
+def mini_config(root):
+    cfg = zju_config(root=root)
+    return cfg.replace(
+        dataset=dataclasses.replace(
+            cfg.dataset, image_shape=(96, 128), max_points=16,
+            train_scenes=("scene-a",), val_scenes=("scene-b",)),
+        sml=dataclasses.replace(cfg.sml, net_shape=(64, 96)),
+        rcnet=dataclasses.replace(cfg.rcnet, patch_size=(48, 32)),
+        sml_train=dataclasses.replace(
+            cfg.sml_train, batch_size=2, n_step_per_checkpoint=2,
+            n_step_per_summary=1, learning_schedule=(1, 2)),
+        rcnet_train=dataclasses.replace(
+            cfg.rcnet_train, batch_size=1, points_per_frame=4,
+            n_step_per_checkpoint=2, learning_schedule=(1,)),
+        compute_dtype="float32",
+    )
+
+
+def test_manifest_and_datasets(mini_root):
+    from riders_tpu.io.input_pipeline import (
+        RCNetTrainDataset, SMLFrameDataset)
+    from riders_tpu.io.manifest import build_manifest
+    cfg = mini_config(mini_root)
+    records = build_manifest(cfg.dataset, ("scene-a",),
+                             rcnet_interp="rcnet_0.1")
+    assert len(records) == 3
+    ds = SMLFrameDataset(cfg, records, train=True, seed=0)
+    sample = ds[0]
+    assert sample["image"].shape == (96, 128, 3)
+    assert sample["rcnet"].shape == (96, 128)
+    assert np.isfinite(sample["mono_pred"]).all()
+
+    rc = RCNetTrainDataset(cfg, records, seed=0)
+    s = rc[0]
+    assert s["image"].shape == (96 + 48, 128 + 32, 3)
+    assert s["points"].shape == (4, 3)
+    assert s["gt_crops"].shape == (4, 48, 32, 1)
+
+
+def test_sml_training_and_validation_roundtrip(mini_root, tmp_path):
+    from riders_tpu.pipelines.drivers import (
+        evaluate_results_dir, train_sml, validate_sml)
+    cfg = mini_config(mini_root)
+    ckpt_dir = str(tmp_path / "sml_ckpt")
+    train_sml(cfg, ckpt_dir, max_steps=2)
+
+    from riders_tpu.core.checkpoint import latest_step
+    assert latest_step(ckpt_dir) == 2
+
+    out_dir = str(tmp_path / "out")
+    best = validate_sml(cfg, ckpt_dir, output_path=out_dir,
+                        save_output=True, batch_size=2)
+    assert np.isfinite(best["mae"])
+    assert best["step"] == 2
+
+    # the saved PNGs score identically through the offline comparator
+    results = evaluate_results_dir(cfg, os.path.join(out_dir, "SML"))
+    assert np.isfinite(results["mae"])
+    assert abs(results["delta1"] - best["delta1"]) < 0.05
+
+
+def test_rcnet_training_and_generation(mini_root, tmp_path):
+    from riders_tpu.pipelines.drivers import run_rcnet, train_rcnet
+    cfg = mini_config(mini_root)
+    ckpt_dir = str(tmp_path / "rc_ckpt")
+    train_rcnet(cfg, ckpt_dir, max_steps=2)
+
+    out_root = str(tmp_path / "rcnet_out")
+    run_rcnet(cfg, ckpt_dir, out_root, scenes=("scene-b",),
+              save_color=False)
+    thr = f"rcnet_{cfg.rcnet.response_threshold}"
+    produced = os.listdir(os.path.join(out_root, thr, "scene-b",
+                                       "depth_predicted"))
+    assert len(produced) == 3
+    d = depthio.load_depth(os.path.join(out_root, thr, "scene-b",
+                                        "depth_predicted", produced[0]))
+    assert d.shape == (96, 128)
+
+
+def test_checkpoint_resume(mini_root, tmp_path):
+    from riders_tpu.core.checkpoint import latest_step
+    from riders_tpu.pipelines.drivers import train_sml
+    cfg = mini_config(mini_root)
+    # 4 epochs x 1 step/epoch so the resumed run has room to advance
+    cfg = cfg.replace(sml_train=dataclasses.replace(
+        cfg.sml_train, learning_schedule=(1, 4)))
+    ckpt_dir = str(tmp_path / "resume_ckpt")
+    train_sml(cfg, ckpt_dir, max_steps=2)
+    train_sml(cfg, ckpt_dir, resume=True, max_steps=4)
+    assert latest_step(ckpt_dir) == 4
