@@ -1,0 +1,272 @@
+"""Torch checkpoint -> flax parameter conversion.
+
+One-time converters so reference-trained weights evaluate in riders_tpu
+(the parity instrument - SURVEY.md "hard parts": pretrained encoders can't
+be fetched from torch.hub on TPU pods, and ZJU's small dataset makes
+from-scratch encoder quality a risk).
+
+Supported formats:
+* SML `.pth` - a bare state_dict, `{"model": state_dict}`, or a lightning
+  dict with `model.` prefixes (the tolerant loader of
+  modules/midas/base_model.py:5-26), keys following
+  MidasNet_small_videpth's layout with a torch.hub
+  tf_efficientnet_lite3 backbone (modules/midas/blocks.py:44-64).
+* RC-Net `.pth` - `radarnet_encoder_state_dict` / `radarnet_decoder_state_
+  dict` dicts (RCNet/rcnet_model.py:211-257), keys following
+  networks.py/net_utils.py module names.
+
+Conventions: torch conv weights (O, I, kh, kw) -> flax (kh, kw, I, O);
+depthwise (C, 1, kh, kw) -> (kh, kw, 1, C); linear (O, I) -> (I, O);
+BatchNorm weight/bias -> scale/bias and running stats -> batch_stats.
+Torch is only imported inside `load_torch_checkpoint`; conversion itself
+operates on numpy arrays, so the converters are testable without torch.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+from riders_tpu.models.efficientnet import LITE3_STAGES
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch .pth into {key: numpy}, tolerating the reference's
+    wrapper formats (base_model.py:11-26)."""
+    import torch
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(blob, dict) and "radarnet_encoder_state_dict" in blob:
+        sd = {}
+        for prefix, sub in (("encoder.", "radarnet_encoder_state_dict"),
+                            ("decoder.", "radarnet_decoder_state_dict")):
+            for k, v in blob[sub].items():
+                k = k.removeprefix("module.")    # DataParallel wrapper
+                sd[prefix + k] = v
+    else:
+        sd = blob.get("model", blob) if isinstance(blob, dict) else blob
+        if any(k.startswith("model.") for k in sd):
+            sd = {k.removeprefix("model."): v for k, v in sd.items()}
+        sd = {k.removeprefix("module."): v for k, v in sd.items()}
+    return {k: np.asarray(v.detach().cpu().numpy())
+            for k, v in sd.items()}
+
+
+def _conv(sd, key):
+    return np.transpose(sd[key], (2, 3, 1, 0))
+
+
+def _linear(sd, key):
+    return np.transpose(sd[key], (1, 0))
+
+
+def _conv_entry(sd, prefix, bias=True):
+    out = {"kernel": _conv(sd, prefix + ".weight")}
+    if bias and prefix + ".bias" in sd:
+        out["bias"] = sd[prefix + ".bias"]
+    return out
+
+
+def _bn_params(sd, prefix):
+    return {"scale": sd[prefix + ".weight"], "bias": sd[prefix + ".bias"]}
+
+
+def _bn_stats(sd, prefix):
+    return {"mean": sd[prefix + ".running_mean"],
+            "var": sd[prefix + ".running_var"]}
+
+
+def _effnet_block_map() -> Tuple[Tuple[str, str], ...]:
+    """(torch_prefix, flax_name) pairs for every lite3 block under the
+    MiDaS layer slicing (blocks.py:54-64):
+    layer1 = [conv_stem, bn1, act, blocks0, blocks1]; layer2 = [blocks2];
+    layer3 = [blocks3, blocks4]; layer4 = [blocks5, blocks6]."""
+    layer_of_stage = {0: ("layer1", 3), 1: ("layer1", 4), 2: ("layer2", 0),
+                      3: ("layer3", 0), 4: ("layer3", 1), 5: ("layer4", 0),
+                      6: ("layer4", 1)}
+    pairs = []
+    for si, (_, _, _, _, repeats) in enumerate(LITE3_STAGES):
+        layer, seq_idx = layer_of_stage[si]
+        for bi in range(repeats):
+            pairs.append((f"pretrained.{layer}.{seq_idx}.{bi}",
+                          f"stage{si}_block{bi}"))
+    return tuple(pairs)
+
+
+def convert_sml_state_dict(sd: Dict[str, np.ndarray]
+                           ) -> Dict[str, Any]:
+    """MidasNet_small_videpth state dict -> ScaleMapLearner variables."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    params["first_conv"] = _conv_entry(sd, "first.0")
+    params["first_bn"] = _bn_params(sd, "first.1")
+    stats["first_bn"] = _bn_stats(sd, "first.1")
+
+    # efficientnet-lite3 backbone
+    eff_p: Dict[str, Any] = {
+        "conv_stem": {"kernel": _conv(sd, "pretrained.layer1.0.weight")},
+        "bn_stem": _bn_params(sd, "pretrained.layer1.1"),
+    }
+    eff_s: Dict[str, Any] = {"bn_stem": _bn_stats(sd, "pretrained.layer1.1")}
+    for torch_prefix, flax_name in _effnet_block_map():
+        is_ds = f"{torch_prefix}.conv_pwl.weight" not in sd
+        convs = (("conv_dw", "conv_pw") if is_ds
+                 else ("conv_pw", "conv_dw", "conv_pwl"))
+        bns = ("bn1", "bn2") if is_ds else ("bn1", "bn2", "bn3")
+        bp: Dict[str, Any] = {}
+        bs: Dict[str, Any] = {}
+        for c in convs:
+            bp[c] = {"kernel": _conv(sd, f"{torch_prefix}.{c}.weight")}
+        for b in bns:
+            bp[b] = _bn_params(sd, f"{torch_prefix}.{b}")
+            bs[b] = _bn_stats(sd, f"{torch_prefix}.{b}")
+        eff_p[flax_name] = bp
+        eff_s[flax_name] = bs
+    params["pretrained"] = eff_p
+    stats["pretrained"] = eff_s
+
+    for i in (1, 2, 3, 4):
+        params[f"layer{i}_rn"] = {
+            "kernel": _conv(sd, f"scratch.layer{i}_rn.weight")}
+
+    for i in (1, 2, 3, 4):
+        rn = f"scratch.refinenet{i}"
+        block: Dict[str, Any] = {
+            "out_conv": _conv_entry(sd, f"{rn}.out_conv"),
+            "res_conf_unit2": {
+                "conv1": _conv_entry(sd, f"{rn}.resConfUnit2.conv1"),
+                "conv2": _conv_entry(sd, f"{rn}.resConfUnit2.conv2"),
+            },
+        }
+        if i != 4:  # refinenet4 has no skip input; resConfUnit1 is unused
+            block["res_conf_unit1"] = {
+                "conv1": _conv_entry(sd, f"{rn}.resConfUnit1.conv1"),
+                "conv2": _conv_entry(sd, f"{rn}.resConfUnit1.conv2"),
+            }
+        params[f"refinenet{i}"] = block
+
+    params["output_conv"] = {
+        "conv1": _conv_entry(sd, "scratch.output_conv.0"),
+        "conv2": _conv_entry(sd, "scratch.output_conv.2"),
+        "conv3": _conv_entry(sd, "scratch.output_conv.4"),
+    }
+    return {"params": params, "batch_stats": stats}
+
+
+def _convblock(sd, prefix, use_bn):
+    p = {"conv": {"kernel": _conv(sd, f"{prefix}.conv.weight")}}
+    s = {}
+    if use_bn and f"{prefix}.batch_norm.weight" in sd:
+        p["bn"] = _bn_params(sd, f"{prefix}.batch_norm")
+        s["bn"] = _bn_stats(sd, f"{prefix}.batch_norm")
+    return p, s
+
+
+def convert_rcnet_state_dict(sd: Dict[str, np.ndarray]
+                             ) -> Dict[str, Any]:
+    """RCNetEncoder + MultiScaleDecoder state dicts -> RCNet variables."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    # --- image encoder (networks.py:10-270 / net_utils wrappers) ---
+    enc_p: Dict[str, Any] = {}
+    enc_s: Dict[str, Any] = {}
+    p, s = _convblock(sd, "encoder.encoder_image.conv1", True)
+    enc_p["conv1"], enc_s["conv1"] = p, s
+    for stage in (2, 3, 4, 5):
+        for bi in (0, 1):
+            prefix = f"encoder.encoder_image.blocks{stage}.{bi}"
+            bp: Dict[str, Any] = {}
+            bs: Dict[str, Any] = {}
+            for c in ("conv1", "conv2"):
+                bp[c], bsc = _convblock(sd, f"{prefix}.{c}", True)
+                if bsc:
+                    bs[c] = bsc
+            if f"{prefix}.projection.conv.weight" in sd:
+                # projection is applied only on shape mismatch; convert it
+                # whenever present
+                bp["projection"], _ = _convblock(
+                    sd, f"{prefix}.projection", False)
+            enc_p[f"blocks{stage}_{bi}"] = bp
+            enc_s[f"blocks{stage}_{bi}"] = bs
+    params["encoder_image"] = enc_p
+    stats["encoder_image"] = enc_s
+
+    # --- point encoder (networks.py:273-332) ---
+    pe: Dict[str, Any] = {}
+    for i in range(6):
+        name = f"fc{i}" if i < 5 else "fc_out"
+        prefix = f"encoder.encoder_depth.mlp.{i}.fully_connected"
+        pe[name] = {"linear": {
+            "kernel": _linear(sd, prefix + ".weight"),
+            "bias": sd[prefix + ".bias"]}}
+    params["encoder_depth"] = pe
+
+    # --- attention (linear_attention.py:84-184) ---
+    att: Dict[str, Any] = {}
+    i = 0
+    while f"encoder.attention.layers.{i}.q_proj.weight" in sd:
+        lp = f"encoder.attention.layers.{i}"
+        att[f"layer{i}"] = {
+            "q_proj": {"kernel": _linear(sd, f"{lp}.q_proj.weight")},
+            "k_proj": {"kernel": _linear(sd, f"{lp}.k_proj.weight")},
+            "v_proj": {"kernel": _linear(sd, f"{lp}.v_proj.weight")},
+            "merge": {"kernel": _linear(sd, f"{lp}.merge.weight")},
+            "mlp1": {"kernel": _linear(sd, f"{lp}.mlp.0.weight")},
+            "mlp2": {"kernel": _linear(sd, f"{lp}.mlp.2.weight")},
+            "norm1": {"scale": sd[f"{lp}.norm1.weight"],
+                      "bias": sd[f"{lp}.norm1.bias"]},
+            "norm2": {"scale": sd[f"{lp}.norm2.weight"],
+                      "bias": sd[f"{lp}.norm2.bias"]},
+        }
+        i += 1
+    params["attention"] = att
+
+    # --- decoder (networks.py:458-778) ---
+    dec_p: Dict[str, Any] = {}
+    dec_s: Dict[str, Any] = {}
+    for d in (4, 3, 2, 1, 0):
+        prefix = f"decoder.deconv{d}"
+        block_p: Dict[str, Any] = {}
+        block_s: Dict[str, Any] = {}
+        up_p, up_s = _convblock(sd, f"{prefix}.deconv.conv", True)
+        block_p["deconv"] = {"conv": up_p}
+        if up_s:
+            block_s["deconv"] = {"conv": up_s}
+        c_p, c_s = _convblock(sd, f"{prefix}.conv", True)
+        block_p["conv"] = c_p
+        if c_s:
+            block_s["conv"] = c_s
+        dec_p[f"deconv{d}"] = block_p
+        dec_s[f"deconv{d}"] = block_s
+    out_p, _ = _convblock(sd, "decoder.output0", False)
+    dec_p["output0"] = out_p
+    params["decoder"] = dec_p
+    stats["decoder"] = dec_s
+    return {"params": params, "batch_stats": stats}
+
+
+def check_tree_matches(converted: Any, template: Any, path: str = ""
+                       ) -> list:
+    """Compare a converted pytree against a model-initialized template;
+    returns a list of mismatch descriptions (empty = exact match)."""
+    problems = []
+    if isinstance(template, dict):
+        conv = converted if isinstance(converted, dict) else {}
+        for k in template:
+            if k not in conv:
+                problems.append(f"missing {path}/{k}")
+            else:
+                problems += check_tree_matches(conv[k], template[k],
+                                               f"{path}/{k}")
+        for k in conv:
+            if k not in template:
+                problems.append(f"extra {path}/{k}")
+        return problems
+    t_shape = tuple(np.shape(template))
+    c_shape = tuple(np.shape(converted))
+    if t_shape != c_shape:
+        problems.append(f"shape {path}: {c_shape} vs {t_shape}")
+    return problems

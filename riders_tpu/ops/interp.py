@@ -26,9 +26,24 @@ import numpy as np
 
 def delaunay_interpolate(depth_map: np.ndarray,
                          validity_map: Optional[np.ndarray] = None,
-                         log_space: bool = False) -> np.ndarray:
+                         log_space: bool = False,
+                         use_native: bool = True) -> np.ndarray:
     """Barycentric (Delaunay) interpolation of a sparse map
-    (data_utils.py:231-274 semantics; host CPU, scipy/Qhull)."""
+    (data_utils.py:231-274 semantics; host CPU).
+
+    When `use_native` and the C++ library is available (native/delaunay.cpp,
+    ~27x scipy), it handles the non-log path; otherwise scipy/Qhull.  The
+    two differ only in triangulation choice at exactly-cocircular grid
+    points (both are valid Delaunay interpolants)."""
+    if use_native and not log_space:
+        from riders_tpu.io.native import delaunay_interpolate_native
+        if validity_map is None:
+            validity_map = depth_map > 0.0
+        if validity_map.sum() >= 3:
+            out = delaunay_interpolate_native(depth_map, validity_map)
+            if out is not None:
+                return out
+
     from scipy.interpolate import LinearNDInterpolator
 
     assert depth_map.ndim == 2

@@ -75,7 +75,7 @@ def test_delaunay_interpolate_matches_scipy(rng):
     idx = rng.integers(0, depth.size, 60)
     depth.reshape(-1)[idx] = rng.random(60).astype(np.float32) * 40 + 1
 
-    ours = delaunay_interpolate(depth)
+    ours = delaunay_interpolate(depth, use_native=False)
     r, c = np.where(depth > 0)
     interp = LinearNDInterpolator(np.stack([r, c], 1), depth[r, c],
                                   fill_value=0)
