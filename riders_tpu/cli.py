@@ -95,6 +95,10 @@ def main(argv=None) -> int:
     p.add_argument("--save-output", action="store_true")
     p.add_argument("--rcnet-interp", default=None)
 
+    p = sub.add_parser("val-rcnet", help="validate RC-Net checkpoints")
+    common(p)
+    p.add_argument("--ckpt", required=True)
+
     p = sub.add_parser("eval-dir",
                        help="score a directory of predicted depth PNGs")
     common(p)
@@ -132,6 +136,9 @@ def main(argv=None) -> int:
         from riders_tpu.pipelines.drivers import validate_sml
         validate_sml(cfg, args.ckpt, output_path=args.output,
                      save_output=args.save_output, log_path=args.log)
+    elif args.command == "val-rcnet":
+        from riders_tpu.pipelines.drivers import validate_rcnet
+        validate_rcnet(cfg, args.ckpt, log_path=args.log)
     elif args.command == "eval-dir":
         from riders_tpu.pipelines.drivers import evaluate_results_dir
         evaluate_results_dir(cfg, args.results, depth_subdir=args.subdir,

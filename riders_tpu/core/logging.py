@@ -119,6 +119,34 @@ class StepTimer:
                 f"({s['steps_per_s']:.2f} it/s)")
 
 
+def save_image_mosaic(path: str, panels, max_depth: float = 80.0) -> None:
+    """Dump a horizontal mosaic of image/depth panels as one PNG - the
+    dependency-light stand-in for the reference's TensorBoard image grids
+    (log_utils.log_summary:102-287, rcnet_model.log_summary:267-476).
+
+    `panels` is a list of (H, W[, 3]) arrays: RGB panels pass through,
+    single-channel panels are viridis-colorized against max_depth.
+    """
+    from riders_tpu.io.depthio import _viridis
+
+    rows = []
+    target_h = max(p.shape[0] for p in panels)
+    for p in panels:
+        p = np.asarray(p, np.float32)
+        if p.ndim == 2:
+            p = _viridis(np.clip(p / max_depth, 0, 1))[..., :3]
+        if p.max() > 1.0:
+            p = p / 255.0
+        if p.shape[0] != target_h:
+            reps = target_h // p.shape[0]
+            p = np.repeat(np.repeat(p, reps, 0), reps, 1)
+        rows.append(np.clip(p, 0, 1))
+    mosaic = np.concatenate(rows, axis=1)
+    from PIL import Image
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    Image.fromarray(np.uint8(mosaic * 255)).save(path)
+
+
 @contextlib.contextmanager
 def trace(log_dir: Optional[str]):
     """jax.profiler trace context; no-op when log_dir is None."""

@@ -218,6 +218,20 @@ class RCNetTrainDataset:
                      points[:, 1],  # y kept erroneous, as in the reference
                      pz.astype(np.float32)], axis=1)
 
+        # Geometric flips with point/box remap (rcnet_transforms.py:352-396;
+        # enabled through rcnet_train.random_flip_type).
+        H_img, W_img = gt.shape
+        if ("horizontal" in t.random_flip_type
+                and self.rng.random() < 0.5 * t.augmentation_probability):
+            image = np.ascontiguousarray(image[:, ::-1])
+            gt = np.ascontiguousarray(gt[:, ::-1])
+            points[:, 0] = W_img - 1 - points[:, 0]
+        if ("vertical" in t.random_flip_type
+                and self.rng.random() < 0.5 * t.augmentation_probability):
+            image = np.ascontiguousarray(image[::-1])
+            gt = np.ascontiguousarray(gt[::-1])
+            points[:, 1] = H_img - 1 - points[:, 1]
+
         # Shift to padded coordinates, build boxes and GT crops
         # (datasets.py:242-276).
         points[:, 0] += pad_x

@@ -33,19 +33,26 @@ from riders_tpu.ops.interp import delaunay_interpolate
 
 @dataclasses.dataclass(frozen=True)
 class Calibration:
-    """Camera intrinsics + sensor extrinsics for one rig."""
+    """Camera intrinsics + sensor extrinsics for one rig.
+
+    The radar extrinsic comes either via the lidar chain
+    (ZJU: T_camera_radar = T_camera_lidar @ inv(T_radar_lidar),
+    pointcloud_project_zju.py:171) or directly (NTU,
+    pointcloud_project_ntu.py:169-172)."""
 
     image_size: Tuple[int, int]               # (H, W)
     projection_matrix: np.ndarray             # 4x4
     dist_coeffs: np.ndarray
     t_camera_lidar: np.ndarray                # 4x4
-    t_radar_lidar: np.ndarray                 # 4x4
+    t_radar_lidar: Optional[np.ndarray] = None
+    t_camera_radar_direct: Optional[np.ndarray] = None
     min_distance: float = 1.5
     max_distance: float = 100.0
 
     @property
     def t_camera_radar(self) -> np.ndarray:
-        # pointcloud_project_zju.py:171
+        if self.t_camera_radar_direct is not None:
+            return self.t_camera_radar_direct
         return self.t_camera_lidar @ np.linalg.inv(self.t_radar_lidar)
 
 
@@ -69,6 +76,32 @@ def zju_calibration() -> Calibration:
             [[0.996455, -0.0836778, 0.00869593, 3.85],
              [0.0836747, 0.996493, 0.000730218, -0.02],
              [-0.00872654, 0, 0.999962, 0.3],
+             [0, 0, 0, 1]]),
+    )
+
+
+def ntu_calibration() -> Calibration:
+    """NTU4DRadLM rig (pointcloud_project_ntu.py:145-172)."""
+    return Calibration(
+        image_size=(512, 640),
+        projection_matrix=np.array(
+            [[4.7196351324104091e+02, 0, 3.3903066128694218e+02, 0],
+             [0, 4.7248642748309049e+02, 2.7774073717116710e+02, 0],
+             [0, 0, 1, 0],
+             [0, 0, 0, 1]]),
+        dist_coeffs=np.array(
+            [-1.8566954779749040e-01, 1.6745260846914475e-01,
+             -1.8122010952647307e-04, 8.6534037842673963e-05,
+             -1.0770856460153226e-01]),
+        t_camera_lidar=np.array(
+            [[-0.01577749, -0.99987429, -0.00055128, -0.17138222],
+             [-0.00151076, 0.00057628, -0.99999762, 0.09600887],
+             [0.99987328, -0.01577772, -0.00151857, -0.10307939],
+             [0, 0, 0, 1]]),
+        t_camera_radar_direct=np.array(
+            [[-0.0241851, -0.999665, -0.00925436, -0.0248342],
+             [0.0404891, 0.00826999, -0.999146, 0.09583170000000001],
+             [0.998887, -0.0245392, 0.0402755, 0.0268037],
              [0, 0, 0, 1]]),
     )
 
@@ -160,10 +193,8 @@ def _process_star(args):
 def preprocess_dataset(cfg, raw_root: str, output_root: str,
                        workers: int = 0) -> None:
     """Process every scene directory under raw_root."""
-    calib = zju_calibration() if cfg.dataset.name == "zju" else None
-    if calib is None:
-        raise NotImplementedError(
-            "NTU calibration preset not yet wired; pass a Calibration")
+    calib = (zju_calibration() if cfg.dataset.name == "zju"
+             else ntu_calibration())
     scenes = sorted(d for d in os.listdir(raw_root)
                     if os.path.isdir(os.path.join(raw_root, d)))
     for scene in scenes:

@@ -163,6 +163,33 @@ class ResNetBlock(nn.Module):
         return self.activation(out + x) if self.activation else out + x
 
 
+class ResNetBottleneckBlock(nn.Module):
+    """Bottleneck residual block: 1x1 -> 3x3(stride) -> 1x1(4x) with
+    projection-on-mismatch (net_utils.py:326-407)."""
+
+    features: int
+    stride: int = 1
+    activation: Optional[Callable] = None
+    use_batch_norm: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        out = ConvBlock(self.features, 1, 1, self.activation,
+                        self.use_batch_norm, dtype=self.dtype,
+                        name="conv1")(x, train)
+        out = ConvBlock(self.features, 3, self.stride, self.activation,
+                        self.use_batch_norm, dtype=self.dtype,
+                        name="conv2")(out, train)
+        out = ConvBlock(4 * self.features, 1, 1, self.activation,
+                        self.use_batch_norm, dtype=self.dtype,
+                        name="conv3")(out, train)
+        if x.shape[-1] != 4 * self.features or self.stride != 1:
+            x = ConvBlock(4 * self.features, 1, self.stride, None, False,
+                          dtype=self.dtype, name="projection")(x, train)
+        return self.activation(out + x) if self.activation else out + x
+
+
 class VGGBlock(nn.Module):
     """n_conv stacked 3x3 convs, stride on the last (net_utils.py:410-470)."""
 

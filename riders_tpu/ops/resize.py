@@ -28,7 +28,39 @@ from typing import Tuple
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["resize2d", "resize_nearest_indices"]
+__all__ = ["resize2d", "resize_nearest_indices", "compute_net_shape"]
+
+
+def compute_net_shape(image_shape: Tuple[int, int],
+                      target: int = 288,
+                      multiple_of: int = 32,
+                      method: str = "minimal") -> Tuple[int, int]:
+    """Network input size for an arbitrary frame: the aspect-keeping,
+    multiple-of-32 resize of modules/midas/transforms.py:59-125.
+
+    'minimal' picks the axis whose scale is closest to 1 (the SML
+    convention, get_transforms:318-326); 'lower_bound' guarantees >= target
+    on both axes.  E.g. 480x640 -> (288, 384); 512x640 -> (288, 352).
+    """
+    h, w = image_shape
+    scale_h = target / h
+    scale_w = target / w
+    if method == "minimal":
+        scale = scale_w if abs(1 - scale_w) < abs(1 - scale_h) else scale_h
+        sh = sw = scale
+    elif method == "lower_bound":
+        sh = sw = max(scale_h, scale_w)
+    else:
+        raise ValueError(method)
+
+    def constrain(x, min_val=None):
+        y = int(np.round(x / multiple_of) * multiple_of)
+        if min_val is not None and y < min_val:
+            y = int(np.ceil(x / multiple_of) * multiple_of)
+        return y
+
+    min_val = target if method == "lower_bound" else None
+    return (constrain(sh * h, min_val), constrain(sw * w, min_val))
 
 
 @functools.lru_cache(maxsize=None)

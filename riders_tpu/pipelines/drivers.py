@@ -189,6 +189,62 @@ def run_rcnet(cfg: RidersConfig, checkpoint_dir: str, output_root: str,
             log_lib.log(f"rcnet {idx + 1}/{len(dataset)}", log_path)
 
 
+def validate_rcnet(cfg: RidersConfig, checkpoint_dir: str,
+                   log_path: Optional[str] = None) -> Dict[str, float]:
+    """Stage-2 validation (rcnet_main.validate:490-691): score the
+    quasi-dense output against the interpolated lidar GT on the
+    intersection of their validity maps (MAE/RMSE/iMAE/iRMSE,
+    rcnet_main.py:599-606), sweeping all checkpoints with a best-results
+    vote."""
+    records = build_manifest(cfg.dataset, cfg.dataset.val_scenes,
+                             require_all=False)
+    dataset = RCNetInferenceDataset(cfg, records)
+    gt_maps = [depthio.load_depth(r.gt_interp) for r in records]
+
+    model = RCNet(config=cfg.rcnet, dtype=_dtype(cfg))
+    state, _ = rcnet_training.init_rcnet_train_state(
+        cfg, model, jax.random.PRNGKey(0), steps_per_epoch=1)
+    infer = make_rcnet_infer_fn(cfg, model)
+
+    import orbax.checkpoint as ocp
+    mgr = ocp.CheckpointManager(os.path.abspath(checkpoint_dir))
+    steps = sorted(mgr.all_steps(), reverse=True)
+    mgr.close()
+
+    best = {"step": -1, "mae": np.inf, "rmse": np.inf,
+            "imae": np.inf, "irmse": np.inf}
+    for step in steps:
+        state = ckpt_lib.restore_train_state(checkpoint_dir, state, step)
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        loader = BatchLoader(dataset, batch_size=1, shuffle=False,
+                             drop_last=False)
+        acc = {k: [] for k in ("mae", "rmse", "imae", "irmse")}
+        for idx, batch in enumerate(loader.epoch()):
+            pred = np.asarray(infer(variables, batch)["depth"][0])
+            gt = gt_maps[idx]
+            mask = (pred > 0) & (gt > 0)
+            if mask.sum() == 0:
+                continue
+            p, g = pred[mask], gt[mask]
+            acc["mae"].append(np.mean(np.abs(1000 * p - 1000 * g)))
+            acc["rmse"].append(
+                np.sqrt(np.mean((1000 * p - 1000 * g) ** 2)))
+            acc["imae"].append(np.mean(np.abs(1 / (0.001 * g)
+                                              - 1 / (0.001 * p))))
+            acc["irmse"].append(np.sqrt(np.mean(
+                (1 / (0.001 * g) - 1 / (0.001 * p)) ** 2)))
+        results = {k: float(np.mean(v)) for k, v in acc.items() if v}
+        log_lib.log(f"RC-Net validation step {step}: " + "  ".join(
+            f"{k}={v:.4f}" for k, v in results.items()), log_path)
+        n_improve = sum(results[k] < best[k] for k in results)
+        if n_improve >= 3:
+            best.update(results)
+            best["step"] = step
+    log_lib.log(f"RC-Net best: {best}", log_path)
+    return best
+
+
 def _aggregate(per_frame: Dict[str, np.ndarray]) -> Dict[str, float]:
     return {k: float(np.mean(v)) for k, v in per_frame.items()
             if k != "n_valid"}
@@ -244,6 +300,18 @@ def validate_sml(cfg: RidersConfig, checkpoint_dir: str,
                     depthio.save_depth(
                         depths[i], os.path.join(ddir,
                                                 rec.frame_id + ".png"))
+                if frame_idx == 0:
+                    # one inspection mosaic per checkpoint: image | aligned
+                    # prior | prediction (the reference's TB image grids,
+                    # log_utils.log_summary:102-287)
+                    log_lib.save_image_mosaic(
+                        os.path.join(output_path, "SML",
+                                     f"mosaic-step{step}.png"),
+                        [np.asarray(batch["image"][0]),
+                         1.0 / np.maximum(np.asarray(out["int_depth"][0]),
+                                          1e-3),
+                         depths[0]],
+                        max_depth=cfg.eval.max_depth_val)
             frame_idx += n
         results = _aggregate(
             {k: np.concatenate(v) for k, v in per_frame.items()})
