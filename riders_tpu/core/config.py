@@ -71,6 +71,9 @@ class SMLConfig:
     scale map applied multiplicatively to the aligned mono prior.
     """
 
+    # 'midas-small' | 'midas-small-depth' | 'dpt-large'
+    # (train_zju.py:170-195 model_type switch)
+    model_type: str = "midas-small"
     features: int = 64
     expand: bool = True
     in_channels: int = 3                # (int_depth, int_scales, gray)

@@ -138,8 +138,12 @@ def save_image_mosaic(path: str, panels, max_depth: float = 80.0) -> None:
         if p.max() > 1.0:
             p = p / 255.0
         if p.shape[0] != target_h:
-            reps = target_h // p.shape[0]
-            p = np.repeat(np.repeat(p, reps, 0), reps, 1)
+            from PIL import Image
+            scale = target_h / p.shape[0]
+            img = Image.fromarray(np.uint8(np.clip(p, 0, 1) * 255))
+            img = img.resize((int(p.shape[1] * scale), target_h),
+                             Image.NEAREST)
+            p = np.asarray(img, np.float32) / 255.0
         rows.append(np.clip(p, 0, 1))
     mosaic = np.concatenate(rows, axis=1)
     from PIL import Image

@@ -37,7 +37,7 @@ from riders_tpu.io.input_pipeline import (
 )
 from riders_tpu.io.manifest import build_manifest
 from riders_tpu.models.rcnet import RCNet
-from riders_tpu.models.sml import ScaleMapLearner
+from riders_tpu.models.factory import build_sml_model
 from riders_tpu.pipelines import rcnet_training, sml_training
 from riders_tpu.pipelines.rcnet_inference import make_rcnet_infer_fn
 from riders_tpu.pipelines.sml_inference import make_infer_fn
@@ -64,7 +64,7 @@ def train_sml(cfg: RidersConfig, checkpoint_dir: str,
     n_epochs = t.learning_schedule[-1]
     total_steps = steps_per_epoch * n_epochs
 
-    model = ScaleMapLearner(config=cfg.sml)
+    model = build_sml_model(cfg)
     state, tx = sml_training.init_train_state(
         cfg, model, jax.random.PRNGKey(0), steps_per_epoch)
     if resume and ckpt_lib.latest_step(checkpoint_dir) is not None:
@@ -265,7 +265,7 @@ def validate_sml(cfg: RidersConfig, checkpoint_dir: str,
     loader = BatchLoader(dataset, batch_size, shuffle=False,
                          drop_last=False)
 
-    model = ScaleMapLearner(config=cfg.sml, dtype=_dtype(cfg))
+    model = build_sml_model(cfg, dtype=_dtype(cfg))
     state, _ = sml_training.init_train_state(
         cfg, model, jax.random.PRNGKey(0), steps_per_epoch=1)
     infer = make_infer_fn(cfg, model, with_metrics=True)

@@ -1,0 +1,60 @@
+"""Smoke tests for the DPT-Large SML variant."""
+
+import dataclasses
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from riders_tpu.models.dpt import DPTConfig, DPTScaleMapLearner
+
+
+def tiny_dpt():
+    return DPTConfig(net_shape=(64, 96), embed_dim=64, depth=4,
+                     num_heads=4, hooks=(0, 1, 2, 3),
+                     reassemble_channels=(16, 32, 64, 64), features=32,
+                     pretrained_grid=6)
+
+
+def test_dpt_forward_shapes_and_clamps(rng):
+    cfg = tiny_dpt()
+    model = DPTScaleMapLearner(config=cfg)
+    h, w = cfg.net_shape
+    x = jnp.asarray(rng.standard_normal((2, h, w, 3)).astype(np.float32))
+    d = jnp.asarray((rng.random((2, h, w, 1)) * 5).astype(np.float32))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x, d)
+    pred, scales = model.apply(variables, x, d)
+    assert pred.shape == (2, h, w, 1)
+    p = np.asarray(pred)
+    assert np.isfinite(p).all()
+    assert p.max() <= 1.0 / cfg.min_pred + 1e-5
+    assert p.min() >= 1.0 / cfg.max_pred - 1e-7
+    # head relu + relu(1+out): DPT scales are >= 1
+    assert np.asarray(scales).min() >= 1.0 - 1e-6
+
+
+def test_dpt_pos_embed_resizes_to_input(rng):
+    """Different input sizes reuse the same params (pos embed resized at
+    trace time, backbones/vit.py:16-31)."""
+    cfg = tiny_dpt()
+    model = DPTScaleMapLearner(config=cfg)
+    x1 = jnp.zeros((1, 64, 96, 3))
+    d1 = jnp.ones((1, 64, 96, 1))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x1, d1)
+    x2 = jnp.zeros((1, 96, 64, 3))
+    d2 = jnp.ones((1, 96, 64, 1))
+    pred, _ = model.apply(variables, x2, d2)
+    assert pred.shape == (1, 96, 64, 1)
+
+
+def test_dpt_param_count():
+    cfg = DPTConfig()   # full ViT-L
+    model = DPTScaleMapLearner(config=cfg)
+    shapes = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0),
+        jnp.zeros((1, 512, 672, 3)), jnp.ones((1, 512, 672, 1)))
+    n = sum(np.prod(s.shape) for s in
+            jax.tree_util.tree_leaves(shapes["params"]))
+    # ViT-L/16 is ~304M; DPT adds ~40M of reassembly/fusion.
+    assert 2.8e8 < n < 4.0e8, n
