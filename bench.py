@@ -38,7 +38,7 @@ def build():
     cfg = ntu_config()
     # 640x512 frames (the benchmark resolution), NTU patch/threshold preset.
     cfg = cfg.replace(dataset=dataclasses.replace(
-        cfg.dataset, image_shape=(512, 640), max_points=64))
+        cfg.dataset, image_shape=(512, 640), max_points=48))
 
     rcnet = RCNet(config=cfg.rcnet, dtype=jnp.bfloat16)
     sml = ScaleMapLearner(config=cfg.sml, dtype=jnp.bfloat16)

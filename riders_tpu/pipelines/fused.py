@@ -59,8 +59,9 @@ def make_fused_fn(cfg: RidersConfig, rcnet: RCNet, sml: ScaleMapLearner):
 
         points, boxes = shift_points_and_boxes(batch["radar_points"], patch)
         responses = rcnet.apply(
-            rc_vars, padded, points, boxes, batch["point_mask"],
-            train=False, return_logits=False)[..., 0].astype(jnp.float32)
+            rc_vars, padded.astype(rcnet.dtype), points, boxes,
+            batch["point_mask"], train=False,
+            return_logits=False)[..., 0].astype(jnp.float32)
 
         quasi_depth, _ = compose_patches_batched(
             responses, points, batch["point_mask"], (H, W), patch,
@@ -78,7 +79,7 @@ def make_fused_fn(cfg: RidersConfig, rcnet: RCNet, sml: ScaleMapLearner):
                 cfg, img, mono, radar, q))(
                     image, batch["mono_pred"], radar_sparse, quasi_depth)
 
-        pred_inv, _ = sml.apply(sml_vars, x, d)
+        pred_inv, _ = sml.apply(sml_vars, x.astype(sml.dtype), d)
         depth = resize2d(1.0 / pred_inv, (H, W), "bicubic",
                          align_corners=False)[..., 0]
         return depth
