@@ -25,7 +25,7 @@ Stage table (lite3):
 
 from __future__ import annotations
 
-from typing import Any, List, Sequence, Tuple
+from typing import Any, List, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -17,7 +17,7 @@ Layout is NHWC end-to-end - the TPU-preferred convolution layout.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Callable, Optional, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -10,12 +10,11 @@ masks padded bucket slots.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
-from flax import struct
 
 from riders_tpu.core.config import RidersConfig
 from riders_tpu.models.rcnet import RCNet

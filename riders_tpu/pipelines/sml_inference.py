@@ -14,7 +14,6 @@ a device mesh on the `data` axis.  No host roundtrips, no dynamic shapes.
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Optional, Tuple
 
 import jax

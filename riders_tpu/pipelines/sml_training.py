@@ -9,8 +9,7 @@ the mesh `data` axis and XLA inserts the gradient all-reduce.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

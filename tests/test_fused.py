@@ -1,0 +1,66 @@
+"""CPU test of the fully-fused three-stage pipeline (pipelines/fused.py)."""
+
+import dataclasses
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from riders_tpu.core.config import zju_config
+from riders_tpu.models.rcnet import RCNet
+from riders_tpu.models.sml import ScaleMapLearner
+from riders_tpu.pipelines.fused import make_fused_fn
+
+
+def test_fused_pipeline_end_to_end(rng):
+    cfg = zju_config()
+    cfg = cfg.replace(
+        dataset=dataclasses.replace(cfg.dataset, image_shape=(96, 128),
+                                    max_points=8),
+        sml=dataclasses.replace(cfg.sml, net_shape=(64, 96)),
+        rcnet=dataclasses.replace(cfg.rcnet, patch_size=(48, 32)),
+    )
+    rcnet = RCNet(config=cfg.rcnet)
+    sml = ScaleMapLearner(config=cfg.sml)
+
+    H, W = cfg.dataset.image_shape
+    K = cfg.dataset.max_points
+    ph, pw = cfg.rcnet.patch_size
+    B = 2
+
+    depth = (5.0 + 40.0 * rng.random((B, H, W))).astype(np.float32)
+    pts = np.zeros((B, K, 3), np.float32)
+    mask = np.zeros((B, K), np.float32)
+    for b in range(B):
+        u = rng.integers(0, W, 5)
+        v = rng.integers(0, H, 5)
+        pts[b, :5] = np.stack([u, v, depth[b, v, u]], axis=1)
+        mask[b, :5] = 1.0
+    batch = {
+        "image": jnp.asarray(rng.random((B, H, W, 3)).astype(np.float32)),
+        "mono_pred": jnp.asarray(((1.0 / depth) / 0.05).astype(np.float32)),
+        "radar_points": jnp.asarray(pts),
+        "point_mask": jnp.asarray(mask),
+    }
+
+    tiny_img = jnp.zeros((1, 32 + ph, 32 + pw, 3))
+    tiny_pts = jnp.asarray([[[pw / 2, ph / 2, 10.0]]], jnp.float32)
+    tiny_box = jnp.asarray([[[0.0, 0.0, float(pw), float(ph)]]], jnp.float32)
+    rc_vars = jax.jit(rcnet.init)(jax.random.PRNGKey(0), tiny_img, tiny_pts,
+                                  tiny_box, jnp.ones((1, 1)))
+    h, w = cfg.sml.net_shape
+    sml_vars = jax.jit(sml.init)(jax.random.PRNGKey(1),
+                                 jnp.zeros((1, h, w, 3)),
+                                 jnp.ones((1, h, w, 1)))
+
+    fused = make_fused_fn(cfg, rcnet, sml)
+    out = fused(rc_vars, sml_vars, batch)
+    d = np.asarray(out)
+    assert d.shape == (B, H, W)
+    assert np.isfinite(d).all()
+    # bicubic upsampling of 1/pred can overshoot slightly negative at sharp
+    # transitions (the reference's val_zju.py:200-210 is equally unclamped);
+    # the bulk of the map must be positive metric depth
+    assert np.mean(d > 0) > 0.95
+    assert d.mean() > 1.0
