@@ -29,6 +29,24 @@ DATA_AXIS = "data"
 POINTS_AXIS = "points"
 
 
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> None:
+    """Join a multi-host JAX job (DCN).  The reference has no multi-node
+    path at all (SURVEY.md 2.10b); here multi-host is one call - after it,
+    `make_mesh()` spans every chip in the job and the same jit-sharded
+    train steps scale out (data parallelism over DCN, everything else over
+    ICI).  No-op when env-based auto-detection applies (TPU pods)."""
+    import jax
+
+    if coordinator_address is None and num_processes is None:
+        jax.distributed.initialize()
+    else:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id)
+
+
 def make_mesh(n_data: int = -1, n_points: int = 1,
               devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     """Build a (data, points) mesh.  n_data=-1 uses all remaining devices."""
