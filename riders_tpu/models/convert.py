@@ -184,9 +184,11 @@ def convert_rcnet_state_dict(sd: Dict[str, np.ndarray]
                 bp[c], bsc = _convblock(sd, f"{prefix}.{c}", True)
                 if bsc:
                     bs[c] = bsc
-            if f"{prefix}.projection.conv.weight" in sd:
-                # projection is applied only on shape mismatch; convert it
-                # whenever present
+            if bi == 0 and f"{prefix}.projection.conv.weight" in sd:
+                # The torch block always CREATES a projection conv but
+                # applies it only on shape/stride mismatch
+                # (net_utils.py:300-320) - i.e. only the first block of a
+                # stage; later blocks' projection weights are dead.
                 bp["projection"], _ = _convblock(
                     sd, f"{prefix}.projection", False)
             enc_p[f"blocks{stage}_{bi}"] = bp

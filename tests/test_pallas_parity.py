@@ -1,0 +1,82 @@
+"""Interpret-mode parity fuzzing for the Pallas kernels across both
+dataset geometries (ZJU 240x100 and NTU 150x50 patches), verifying the
+Pallas and XLA formulations agree everywhere the fused pipeline uses them.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from riders_tpu.ops.pallas.compose import compose_patches_pallas
+from riders_tpu.ops.patches import compose_patches, roi_max_pool
+
+
+@pytest.mark.parametrize("patch,img", [
+    ((240, 100), (480, 640)),   # ZJU
+    ((150, 50), (512, 640)),    # NTU
+])
+def test_compose_parity_both_geometries(rng, patch, img):
+    ph, pw = patch
+    H, W = img
+    B, K = 1, 5
+    resp = rng.random((B, K, ph, pw)).astype(np.float32)
+    pts = np.stack([rng.integers(0, W + pw, (B, K)),
+                    rng.integers(0, H + ph, (B, K)),
+                    rng.random((B, K)) * 50 + 1], -1).astype(np.float32)
+    mask = np.ones((B, K), np.float32)
+
+    d1, r1 = compose_patches_pallas(
+        jnp.asarray(resp), jnp.asarray(pts), jnp.asarray(mask), img, patch,
+        0.4, interpret=True)
+    d2, r2 = jax.vmap(lambda a, b, c: compose_patches(
+        a, b, c, img, patch, 0.4))(jnp.asarray(resp), jnp.asarray(pts),
+                                   jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-6)
+
+
+@pytest.mark.parametrize("patch,scale,out_size,feat", [
+    # ZJU pyramid levels on the padded 720x740 frame
+    ((240, 100), 0.5, (120, 50), (360, 370, 8)),
+    ((240, 100), 1 / 32., (7, 3), (23, 24, 16)),
+    # NTU pyramid levels on the padded 662x690 frame
+    ((150, 50), 0.25, (37, 12), (166, 173, 8)),
+    ((150, 50), 1 / 16., (9, 3), (42, 44, 16)),
+])
+def test_roi_pool_parity_both_geometries(rng, patch, scale, out_size, feat):
+    from riders_tpu.ops.pallas.roi_pool import roi_max_pool_pallas
+    H, W, C = feat
+    B, K = 1, 6
+    ph, pw = patch
+    img_h = int(H / scale)
+    img_w = int(W / scale)
+    f = rng.standard_normal((B, H, W, C)).astype(np.float32)
+    cx = rng.integers(pw // 2, img_w - pw // 2, (B, K))
+    cy = rng.integers(ph // 2, img_h - ph // 2, (B, K))
+    boxes = np.stack([cx - pw // 2, cy - ph // 2,
+                      cx + pw // 2, cy + ph // 2], -1).astype(np.float32)
+
+    ours = roi_max_pool_pallas(jnp.asarray(f), jnp.asarray(boxes), scale,
+                               out_size, patch, interpret=True)
+    ref = jax.vmap(lambda fb, bb: roi_max_pool(
+        fb, bb, scale, out_size, patch))(jnp.asarray(f), jnp.asarray(boxes))
+    np.testing.assert_array_equal(np.asarray(ours), np.asarray(ref))
+
+
+def test_roi_pool_boxes_at_image_edges(rng):
+    """Boxes whose scaled windows touch the feature boundary must clamp the
+    same way in both formulations."""
+    from riders_tpu.ops.pallas.roi_pool import roi_max_pool_pallas
+    patch, scale, out_size = (48, 32), 0.5, (24, 16)
+    H, W, C = 64, 48, 8
+    f = rng.standard_normal((1, H, W, C)).astype(np.float32)
+    boxes = np.asarray([[[0, 0, 32, 48]],          # top-left corner
+                        [[64, 80, 96, 128]]],      # past the bottom-right
+                       np.float32).reshape(1, 2, 4)
+    ours = roi_max_pool_pallas(jnp.asarray(f), jnp.asarray(boxes), scale,
+                               out_size, patch, interpret=True)
+    ref = jax.vmap(lambda fb, bb: roi_max_pool(
+        fb, bb, scale, out_size, patch))(jnp.asarray(f), jnp.asarray(boxes))
+    np.testing.assert_array_equal(np.asarray(ours), np.asarray(ref))
