@@ -77,7 +77,7 @@ def _bn_stats(sd, prefix):
             "var": sd[prefix + ".running_var"]}
 
 
-def _effnet_block_map() -> Tuple[Tuple[str, str], ...]:
+def _effnet_block_map(stages=LITE3_STAGES) -> Tuple[Tuple[str, str], ...]:
     """(torch_prefix, flax_name) pairs for every lite3 block under the
     MiDaS layer slicing (blocks.py:54-64):
     layer1 = [conv_stem, bn1, act, blocks0, blocks1]; layer2 = [blocks2];
@@ -86,7 +86,7 @@ def _effnet_block_map() -> Tuple[Tuple[str, str], ...]:
                       3: ("layer3", 0), 4: ("layer3", 1), 5: ("layer4", 0),
                       6: ("layer4", 1)}
     pairs = []
-    for si, (_, _, _, _, repeats) in enumerate(LITE3_STAGES):
+    for si, (_, _, _, _, repeats) in enumerate(stages):
         layer, seq_idx = layer_of_stage[si]
         for bi in range(repeats):
             pairs.append((f"pretrained.{layer}.{seq_idx}.{bi}",
@@ -94,8 +94,8 @@ def _effnet_block_map() -> Tuple[Tuple[str, str], ...]:
     return tuple(pairs)
 
 
-def convert_sml_state_dict(sd: Dict[str, np.ndarray]
-                           ) -> Dict[str, Any]:
+def convert_sml_state_dict(sd: Dict[str, np.ndarray],
+                           stages=LITE3_STAGES) -> Dict[str, Any]:
     """MidasNet_small_videpth state dict -> ScaleMapLearner variables."""
     params: Dict[str, Any] = {}
     stats: Dict[str, Any] = {}
@@ -110,7 +110,7 @@ def convert_sml_state_dict(sd: Dict[str, np.ndarray]
         "bn_stem": _bn_params(sd, "pretrained.layer1.1"),
     }
     eff_s: Dict[str, Any] = {"bn_stem": _bn_stats(sd, "pretrained.layer1.1")}
-    for torch_prefix, flax_name in _effnet_block_map():
+    for torch_prefix, flax_name in _effnet_block_map(stages):
         is_ds = f"{torch_prefix}.conv_pwl.weight" not in sd
         convs = (("conv_dw", "conv_pw") if is_ds
                  else ("conv_pw", "conv_dw", "conv_pwl"))

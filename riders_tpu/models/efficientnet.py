@@ -129,22 +129,27 @@ class EfficientNetLite3(nn.Module):
 
     Input: (N, H, W, 3) with H, W multiples of 32.
     Output: list of 4 feature maps, channels (32, 48, 136, 384) at strides
-    (/4, /8, /16, /32).
+    (/4, /8, /16, /32).  `stages`/`taps`/`stem_features` default to the
+    lite3 plan; tests shrink them.
     """
 
     dtype: Dtype = jnp.float32
+    stages: Tuple[Tuple[int, int, int, int, int], ...] = LITE3_STAGES
+    taps: Tuple[int, ...] = LITE3_TAPS
+    stem_features: int = 32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False
                  ) -> List[jnp.ndarray]:
-        h = nn.Conv(32, (3, 3), strides=(2, 2), padding="SAME",
+        h = nn.Conv(self.stem_features, (3, 3), strides=(2, 2),
+                    padding="SAME",
                     use_bias=False, dtype=self.dtype, name="conv_stem")(x)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-3, dtype=self.dtype, name="bn_stem")(h)
         h = relu6(h)
 
         taps: List[jnp.ndarray] = []
-        for si, (k, s, e, c, r) in enumerate(LITE3_STAGES):
+        for si, (k, s, e, c, r) in enumerate(self.stages):
             for bi in range(r):
                 stride = s if bi == 0 else 1
                 name = f"stage{si}_block{bi}"
@@ -154,6 +159,6 @@ class EfficientNetLite3(nn.Module):
                 else:
                     h = MBConv(c, k, stride, e, dtype=self.dtype,
                                name=name)(h, train)
-            if si in LITE3_TAPS:
+            if si in self.taps:
                 taps.append(h)
         return taps

@@ -24,7 +24,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from riders_tpu.core.config import SMLConfig
-from riders_tpu.models.efficientnet import EfficientNetLite3
+from riders_tpu.models.efficientnet import (EfficientNetLite3,
+    LITE3_STAGES, LITE3_TAPS)
 from riders_tpu.ops.resize import resize2d
 
 Dtype = Any
@@ -107,6 +108,9 @@ class ScaleMapLearner(nn.Module):
 
     config: SMLConfig = SMLConfig()
     dtype: Dtype = jnp.float32
+    backbone_stages: tuple = LITE3_STAGES
+    backbone_taps: tuple = LITE3_TAPS
+    backbone_stem: int = 32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, d: jnp.ndarray,
@@ -124,7 +128,9 @@ class ScaleMapLearner(nn.Module):
         h = nn.relu(h)
 
         l1, l2, l3, l4 = EfficientNetLite3(
-            dtype=self.dtype, name="pretrained")(h, train)
+            dtype=self.dtype, stages=self.backbone_stages,
+            taps=self.backbone_taps, stem_features=self.backbone_stem,
+            name="pretrained")(h, train)
 
         # Reassembly convs (blocks.py:15-41), bias-free.
         rn = lambda feat, name: nn.Conv(
