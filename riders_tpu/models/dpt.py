@@ -33,6 +33,7 @@ Dtype = Any
 @dataclasses.dataclass(frozen=True)
 class DPTConfig:
     net_shape: Tuple[int, int] = (512, 672)   # minimal 512-resize of 480x640
+    backbone: str = "vit"                     # 'vit' | 'beit'
     patch_size: int = 16
     embed_dim: int = 1024
     depth: int = 24
@@ -44,7 +45,8 @@ class DPTConfig:
     in_channels: int = 3
     min_pred: Optional[float] = 0.1
     max_pred: Optional[float] = 255.0
-    # pretrained pos-embed grid (vit_large_patch16_384: 24x24 + cls)
+    # pretrained grid (vit_large_patch16_384: 24x24 + cls;
+    # beitl16_512: 32x32 + cls)
     pretrained_grid: int = 24
 
 
@@ -69,6 +71,112 @@ class ViTBlock(nn.Module):
         return x + h
 
 
+def _beit_rel_pos_index(gh: int, gw: int):
+    """Relative position index for a (gh, gw) window plus cls token - the
+    standard BEiT construction (backbones/beit.py window machinery).
+
+    Returns int indices of shape (gh*gw+1, gh*gw+1) into a table of
+    (2gh-1)*(2gw-1) + 3 entries (3 extra for cls<->token and cls<->cls)."""
+    import numpy as np
+    coords = np.stack(np.meshgrid(np.arange(gh), np.arange(gw),
+                                  indexing="ij"))             # 2, gh, gw
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]                  # 2, N, N
+    rel = rel.transpose(1, 2, 0).copy()
+    rel[:, :, 0] += gh - 1
+    rel[:, :, 1] += gw - 1
+    rel[:, :, 0] *= 2 * gw - 1
+    n = gh * gw
+    num_rel = (2 * gh - 1) * (2 * gw - 1)
+    idx = np.zeros((n + 1, n + 1), np.int32)
+    idx[1:, 1:] = rel.sum(-1)
+    idx[0, 0:] = num_rel + 1     # cls -> token
+    idx[0:, 0] = num_rel + 2     # token -> cls
+    idx[0, 0] = num_rel          # cls -> cls
+    return idx
+
+
+class BEiTAttention(nn.Module):
+    """BEiT attention: qkv with q/v bias only (no k bias) and a learned
+    relative position bias resized to the runtime grid at trace time
+    (backbones/beit.py:14-127)."""
+
+    dim: int
+    num_heads: int
+    grid: Tuple[int, int]
+    pretrained_grid: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, N, C = x.shape
+        hd = self.dim // self.num_heads
+        qkv_w = self.param("qkv_kernel", nn.initializers.normal(0.02),
+                           (C, 3 * self.dim))
+        q_bias = self.param("q_bias", nn.initializers.zeros, (self.dim,))
+        v_bias = self.param("v_bias", nn.initializers.zeros, (self.dim,))
+        qkv = x @ qkv_w.astype(x.dtype)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q + q_bias.astype(x.dtype)
+        v = v + v_bias.astype(x.dtype)
+        q = q.reshape(B, N, self.num_heads, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(B, N, self.num_heads, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(B, N, self.num_heads, hd).transpose(0, 2, 1, 3)
+
+        # relative position bias, parametrized at the pretrained square
+        # grid, bilinearly resized to the runtime grid (the reference
+        # interpolates the pretrained tables, beit.py:29-63).
+        pg = self.pretrained_grid
+        table = self.param(
+            "rel_pos_bias_table", nn.initializers.normal(0.02),
+            ((2 * pg - 1) * (2 * pg - 1) + 3, self.num_heads))
+        gh, gw = self.grid
+        spatial = table[:-3].reshape(2 * pg - 1, 2 * pg - 1, self.num_heads)
+        if (gh, gw) != (pg, pg):
+            spatial = resize2d(spatial[None], (2 * gh - 1, 2 * gw - 1),
+                               "bilinear", align_corners=False)[0]
+        full = jnp.concatenate(
+            [spatial.reshape(-1, self.num_heads), table[-3:]], axis=0)
+        idx = jnp.asarray(_beit_rel_pos_index(gh, gw))
+        bias = full[idx.reshape(-1)].reshape(N, N, self.num_heads)
+        bias = bias.transpose(2, 0, 1)[None].astype(jnp.float32)
+
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k).astype(jnp.float32)
+        attn = attn / (hd ** 0.5) + bias
+        attn = nn.softmax(attn, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, self.dim)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+
+
+class BEiTBlock(nn.Module):
+    """BEiT transformer block: layer-scale (gamma) residuals around
+    rel-pos-bias attention and the MLP."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float
+    grid: Tuple[int, int]
+    pretrained_grid: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        g1 = self.param("gamma_1", nn.initializers.ones, (self.dim,))
+        g2 = self.param("gamma_2", nn.initializers.ones, (self.dim,))
+        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        h = BEiTAttention(self.dim, self.num_heads, self.grid,
+                          self.pretrained_grid, dtype=self.dtype,
+                          name="attn")(h)
+        x = x + g1.astype(h.dtype) * h
+        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
+                     name="mlp_fc1")(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(h)
+        return x + g2.astype(h.dtype) * h
+
+
 class ViTBackbone(nn.Module):
     """Plain ViT with cls token, returning token sequences at `hooks`
     (backbones/vit.py forward_flex:33-73 semantics)."""
@@ -91,28 +199,36 @@ class ViTBackbone(nn.Module):
 
         cls = self.param("cls_token", nn.initializers.zeros,
                          (1, 1, cfg.embed_dim))
-        pos = self.param(
-            "pos_embed", nn.initializers.normal(0.02),
-            (1, cfg.pretrained_grid * cfg.pretrained_grid + 1,
-             cfg.embed_dim))
-
-        # Resize the grid part of the position embedding to (gh, gw)
-        # (backbones/vit.py:16-31, bilinear).
-        pos_cls, pos_grid = pos[:, :1], pos[:, 1:]
-        pos_grid = pos_grid.reshape(
-            1, cfg.pretrained_grid, cfg.pretrained_grid, cfg.embed_dim)
-        pos_grid = resize2d(pos_grid, (gh, gw), "bilinear",
-                            align_corners=False)
-        pos_grid = pos_grid.reshape(1, gh * gw, cfg.embed_dim)
-
         tokens = jnp.concatenate(
             [jnp.broadcast_to(cls, (B, 1, cfg.embed_dim)), tokens], axis=1)
-        tokens = tokens + jnp.concatenate([pos_cls, pos_grid], axis=1)
+
+        if cfg.backbone == "vit":
+            # Absolute position embedding, grid part resized to (gh, gw)
+            # (backbones/vit.py:16-31, bilinear).  BEiT carries position
+            # information in per-block relative biases instead.
+            pos = self.param(
+                "pos_embed", nn.initializers.normal(0.02),
+                (1, cfg.pretrained_grid * cfg.pretrained_grid + 1,
+                 cfg.embed_dim))
+            pos_cls, pos_grid = pos[:, :1], pos[:, 1:]
+            pos_grid = pos_grid.reshape(
+                1, cfg.pretrained_grid, cfg.pretrained_grid, cfg.embed_dim)
+            pos_grid = resize2d(pos_grid, (gh, gw), "bilinear",
+                                align_corners=False)
+            pos_grid = pos_grid.reshape(1, gh * gw, cfg.embed_dim)
+            tokens = tokens + jnp.concatenate([pos_cls, pos_grid], axis=1)
 
         taps = []
         for i in range(cfg.depth):
-            tokens = ViTBlock(cfg.embed_dim, cfg.num_heads, cfg.mlp_ratio,
-                              dtype=self.dtype, name=f"block{i}")(tokens)
+            if cfg.backbone == "beit":
+                tokens = BEiTBlock(
+                    cfg.embed_dim, cfg.num_heads, cfg.mlp_ratio, (gh, gw),
+                    cfg.pretrained_grid, dtype=self.dtype,
+                    name=f"block{i}")(tokens)
+            else:
+                tokens = ViTBlock(cfg.embed_dim, cfg.num_heads,
+                                  cfg.mlp_ratio, dtype=self.dtype,
+                                  name=f"block{i}")(tokens)
             if i in cfg.hooks:
                 taps.append(tokens)
         return taps, (gh, gw)

@@ -23,9 +23,11 @@ def build_sml_model(cfg: RidersConfig, dtype=jnp.float32):
         if sml.model_type == "midas-small-depth":
             sml = dataclasses.replace(sml, regress_mode="depth")
         return ScaleMapLearner(config=sml, dtype=dtype)
-    if sml.model_type == "dpt-large":
+    if sml.model_type in ("dpt-large", "dpt-beit-large"):
         from riders_tpu.models.dpt import DPTConfig, DPTScaleMapLearner
-        dcfg = DPTConfig(net_shape=sml.net_shape,
+        backbone = "beit" if "beit" in sml.model_type else "vit"
+        dcfg = DPTConfig(net_shape=sml.net_shape, backbone=backbone,
+                         pretrained_grid=32 if backbone == "beit" else 24,
                          in_channels=sml.in_channels,
                          min_pred=sml.min_pred, max_pred=sml.max_pred)
         return DPTScaleMapLearner(config=dcfg, dtype=dtype)

@@ -1,6 +1,7 @@
 """Smoke tests for the DPT-Large SML variant."""
-
 import dataclasses
+
+
 
 import numpy as np
 
@@ -58,3 +59,35 @@ def test_dpt_param_count():
             jax.tree_util.tree_leaves(shapes["params"]))
     # ViT-L/16 is ~304M; DPT adds ~40M of reassembly/fusion.
     assert 2.8e8 < n < 4.0e8, n
+
+
+def test_beit_backbone_forward(rng):
+    cfg = tiny_dpt()
+    cfg = dataclasses.replace(cfg, backbone="beit")
+    model = DPTScaleMapLearner(config=cfg)
+    h, w = cfg.net_shape
+    x = jnp.asarray(rng.standard_normal((1, h, w, 3)).astype(np.float32))
+    d = jnp.asarray((rng.random((1, h, w, 1)) * 5).astype(np.float32))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x, d)
+    # BEiT has no absolute pos embed but per-block rel-pos tables + gammas
+    assert "pos_embed" not in variables["params"]["pretrained"]
+    blk = variables["params"]["pretrained"]["block0"]
+    assert "gamma_1" in blk and "rel_pos_bias_table" in blk["attn"]
+    pred, scales = model.apply(variables, x, d)
+    assert pred.shape == (1, h, w, 1)
+    assert np.isfinite(np.asarray(pred)).all()
+
+
+def test_beit_rel_pos_index_properties():
+    from riders_tpu.models.dpt import _beit_rel_pos_index
+    idx = np.asarray(_beit_rel_pos_index(3, 4))
+    n = 3 * 4
+    num_rel = 5 * 7
+    assert idx.shape == (n + 1, n + 1)
+    assert idx[0, 0] == num_rel
+    assert (idx[0, 1:] == num_rel + 1).all()
+    assert (idx[1:, 0] == num_rel + 2).all()
+    # zero displacement maps every diagonal token pair to the same entry
+    assert len(set(np.diag(idx)[1:])) == 1
+    assert idx.max() == num_rel + 2
+    assert idx[1:, 1:].max() < num_rel
