@@ -157,8 +157,11 @@ class RCNet(nn.Module):
             cfg.n_filters_encoder_image, cfg.activation, cfg.use_batch_norm,
             dtype=self.dtype, name="encoder_image")(image, train)
 
+        # The Pallas pooling kernel is inference-only (no JVP); training
+        # differentiates through the XLA formulation.
         pooled_latent, pooled_skips = roi_pool_pyramid_batched(
-            latent, skips, boxes, cfg.patch_size)
+            latent, skips, boxes, cfg.patch_size,
+            use_pallas=False if train else None)
         # -> (B, K, h, w, C) each; flatten the frame x point axes.
         flat = lambda t: t.reshape((B * K,) + t.shape[2:])
         pooled_latent = flat(pooled_latent)
