@@ -36,6 +36,16 @@ from riders_tpu.io import depthio
 from riders_tpu.io.manifest import FrameRecord, swap_rcnet_threshold
 
 
+def _normalize_range(image01: np.ndarray, rng) -> np.ndarray:
+    """Map a [0, 1] image to the configured intensity range
+    (rcnet_transforms.normalize_images:245-270: [0,1], [-1,1] or
+    [0,255])."""
+    lo, hi = rng
+    if (lo, hi) == (0.0, 1.0):
+        return image01
+    return (image01 * (hi - lo) + lo).astype(np.float32)
+
+
 def _crop_resize_back(arrays: List[np.ndarray], shape, rng) -> List[np.ndarray]:
     """Random crop then resize back to original size
     (UTV_dataset.py:20-120, crop_type=['horizontal','vertical'])."""
@@ -192,6 +202,7 @@ class RCNetTrainDataset:
         image = np.pad(image, ((pad_y, pad_y), (pad_x, pad_x), (0, 0)),
                        mode="edge")
         image = self._photometric(image)
+        image = _normalize_range(image, cfg.rcnet.normalized_image_range)
 
         points = depthio.load_radar_points(rec.radar)
         # Sample a fixed point count; sparse frames repeat x100 first
@@ -272,6 +283,7 @@ class RCNetInferenceDataset:
         cfg = self.cfg
         rec = self.records[index]
         image = depthio.load_image(rec.image, normalize=True)
+        image = _normalize_range(image, cfg.rcnet.normalized_image_range)
         from riders_tpu.pipelines.rcnet_inference import pad_image_for_patches
         image = pad_image_for_patches(image, cfg.rcnet.patch_size)
         points = depthio.load_radar_points(rec.radar)
