@@ -51,8 +51,18 @@ def make_mesh(n_data: int = -1, n_points: int = 1,
               devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     """Build a (data, points) mesh.  n_data=-1 uses all remaining devices."""
     devices = list(devices if devices is not None else jax.devices())
+    if n_points < 1:
+        raise ValueError(f"n_points must be >= 1, got {n_points}")
     if n_data == -1:
         n_data = len(devices) // n_points
+    if n_data < 1:
+        raise ValueError(
+            f"mesh wants n_points={n_points} but only {len(devices)} "
+            f"device(s) are available")
+    if n_data * n_points > len(devices):
+        raise ValueError(
+            f"mesh wants {n_data * n_points} devices "
+            f"({n_data} data x {n_points} points), have {len(devices)}")
     used = devices[: n_data * n_points]
     arr = np.asarray(used).reshape(n_data, n_points)
     return Mesh(arr, (DATA_AXIS, POINTS_AXIS))

@@ -17,6 +17,42 @@ def test_mesh_shapes():
     assert mesh2.axis_names == (sh.DATA_AXIS, sh.POINTS_AXIS)
 
 
+def test_mesh_undersupply_raises():
+    """Asking for more devices than exist must fail loudly, not with an
+    opaque reshape error (round-1 weak #3)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="have 8"):
+        sh.make_mesh(n_data=8, n_points=2)
+    with pytest.raises(ValueError, match="have 1"):
+        sh.make_mesh(n_data=4, n_points=2, devices=jax.devices()[:1])
+    with pytest.raises(ValueError, match="n_points"):
+        sh.make_mesh(n_data=-1, n_points=16)
+    with pytest.raises(ValueError, match="n_points must be"):
+        sh.make_mesh(n_data=1, n_points=0)
+
+
+def test_dryrun_subprocess_reexec():
+    """dryrun_multichip must self-recover when the process has too few
+    devices by re-exec'ing with a forced virtual mesh (round-1 weak #1).
+    Exercise the argument plumbing with a tiny n that the subprocess can
+    satisfy; the in-process branch is covered by the conftest's 8 devices."""
+    import subprocess
+    import sys
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # subprocess must set its own device count
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    res = subprocess.run(
+        [sys.executable, os.path.join(repo, "__graft_entry__.py"),
+         "--dryrun", "2"],
+        env=env, capture_output=True, text=True, timeout=900)
+    assert res.returncode == 0, res.stderr
+    assert "dryrun_multichip ok on 2 devices" in res.stdout
+
+
 def test_shard_batch_layouts(rng):
     mesh = sh.make_mesh(n_data=4, n_points=2)
     batch = {
