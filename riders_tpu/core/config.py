@@ -142,7 +142,14 @@ class RCNetTrainConfig:
     random_brightness: Tuple[float, float] = (0.6, 1.4)
     random_contrast: Tuple[float, float] = (0.6, 1.4)
     random_saturation: Tuple[float, float] = (0.6, 1.4)
-    random_flip_type: Tuple[str, ...] = ()
+    # Reference ZJU/NTU configs both train with horizontal flips
+    # (train_rcnet_zju.py:59).
+    random_flip_type: Tuple[str, ...] = ("horizontal",)
+    # Per-point noise on the radar points fed to the point encoder
+    # (rcnet_transforms.py:158-168,398-432); 'none'/'gaussian'/'uniform',
+    # disabled in both reference configs (train_rcnet_zju.py:57-58).
+    random_noise_type: str = "none"
+    random_noise_spread: float = -1.0
     n_step_per_summary: int = 100
     n_step_per_checkpoint: int = 2000
 

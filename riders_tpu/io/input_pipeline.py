@@ -93,15 +93,25 @@ class SMLFrameDataset:
         self.cfg = cfg
         self.records = list(records)
         self.train = train
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        self._epoch = 0
 
     def __len__(self) -> int:
         return len(self.records)
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         cfg = self.cfg
         t = cfg.sml_train
         rec = self.records[index]
+        # Private per-(seed, epoch, index) stream: __getitem__ runs on
+        # BatchLoader worker threads concurrently, so a shared mutable
+        # Generator would corrupt silently; a derived stream is also
+        # deterministic regardless of thread count/order.
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, self._epoch, index]))
 
         image = depthio.read_image_unit(rec.image)
         mono_pred = depthio.load_depth(rec.mono_pred)
@@ -116,7 +126,7 @@ class SMLFrameDataset:
         rcnet_path = rec.rcnet
         if rcnet_path is not None:
             if self.train and t.random_rcnet_thresholds:
-                thr = self.rng.choice(list(t.random_rcnet_thresholds))
+                thr = rng.choice(list(t.random_rcnet_thresholds))
                 rcnet_path = swap_rcnet_threshold(rec, float(thr))
             rcnet = depthio.load_depth(rcnet_path)
             if rcnet.sum() == 0:
@@ -127,27 +137,27 @@ class SMLFrameDataset:
             rcnet = radar.copy()
 
         if self.train:
-            if t.random_crop_size is not None and self.rng.random() > 0.2:
+            if t.random_crop_size is not None and rng.random() > 0.2:
                 image_c, mono_c, radar_c, gi_c, gs_c, rc_c = \
                     _crop_resize_back(
                         [image, mono_pred, radar, gt_interp, gt_sparse,
-                         rcnet], t.random_crop_size, self.rng)
+                         rcnet], t.random_crop_size, rng)
                 image, mono_pred, radar = image_c, mono_c, radar_c
                 gt_interp, gt_sparse, rcnet = gi_c, gs_c, rc_c
-            if t.random_flip and self.rng.random() > 0.5:
+            if t.random_flip and rng.random() > 0.5:
                 image = np.ascontiguousarray(image[:, ::-1])
                 mono_pred = np.ascontiguousarray(mono_pred[:, ::-1])
                 radar = np.ascontiguousarray(radar[:, ::-1])
                 gt_interp = np.ascontiguousarray(gt_interp[:, ::-1])
                 gt_sparse = np.ascontiguousarray(gt_sparse[:, ::-1])
                 rcnet = np.ascontiguousarray(rcnet[:, ::-1])
-            if t.random_radar_noise is not None and self.rng.random() > 0.5:
+            if t.random_radar_noise is not None and rng.random() > 0.5:
                 lo, hi = t.random_radar_noise
                 valid = radar > 0
                 radar = radar.copy()
-                radar[valid] += self.rng.normal(
+                radar[valid] += rng.normal(
                     lo, hi, int(valid.sum())).astype(np.float32)
-            image = _hsv_adjust(image.astype(np.float32), self.rng)
+            image = _hsv_adjust(image.astype(np.float32), rng)
 
         return {
             "image": image.astype(np.float32),
@@ -166,29 +176,33 @@ class RCNetTrainDataset:
                  seed: int = 0):
         self.cfg = cfg
         self.records = list(records)
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        self._epoch = 0
 
     def __len__(self) -> int:
         return len(self.records)
 
-    def _photometric(self, image01: np.ndarray) -> np.ndarray:
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+
+    def _photometric(self, image01: np.ndarray, rng) -> np.ndarray:
         """Batch-level photometric aug (rcnet_transforms.py:105-175
         semantics, applied per sample on the host): brightness/contrast/
         saturation each with p=0.5, factors U(range)."""
         t = self.cfg.rcnet_train
         img = image01
-        if self.rng.random() < 0.5 * t.augmentation_probability:
-            img = np.clip(img * self.rng.uniform(*t.random_brightness),
+        if rng.random() < 0.5 * t.augmentation_probability:
+            img = np.clip(img * rng.uniform(*t.random_brightness),
                           0.0, 1.0)
-        if self.rng.random() < 0.5 * t.augmentation_probability:
+        if rng.random() < 0.5 * t.augmentation_probability:
             mean = img.mean()
-            img = np.clip((img - mean) * self.rng.uniform(*t.random_contrast)
+            img = np.clip((img - mean) * rng.uniform(*t.random_contrast)
                           + mean, 0.0, 1.0)
-        if self.rng.random() < 0.5 * t.augmentation_probability:
+        if rng.random() < 0.5 * t.augmentation_probability:
             gray = (0.299 * img[..., 0] + 0.587 * img[..., 1]
                     + 0.114 * img[..., 2])[..., None]
             img = np.clip(gray + (img - gray)
-                          * self.rng.uniform(*t.random_saturation), 0.0, 1.0)
+                          * rng.uniform(*t.random_saturation), 0.0, 1.0)
         return img.astype(np.float32)
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
@@ -197,11 +211,14 @@ class RCNetTrainDataset:
         ph, pw = cfg.rcnet.patch_size
         pad_y, pad_x = ph // 2, pw // 2
         rec = self.records[index]
+        # Per-(seed, epoch, index) stream; see SMLFrameDataset.__getitem__.
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, self._epoch, index]))
 
         image = depthio.load_image(rec.image, normalize=True)
         image = np.pad(image, ((pad_y, pad_y), (pad_x, pad_x), (0, 0)),
                        mode="edge")
-        image = self._photometric(image)
+        image = self._photometric(image, rng)
         image = _normalize_range(image, cfg.rcnet.normalized_image_range)
 
         points = depthio.load_radar_points(rec.radar)
@@ -209,20 +226,20 @@ class RCNetTrainDataset:
         # (datasets.py:203-206).
         if points.shape[0] <= t.points_per_frame:
             points = np.repeat(points, 100, axis=0)
-        idx = self.rng.integers(0, points.shape[0], t.points_per_frame)
+        idx = rng.integers(0, points.shape[0], t.points_per_frame)
         points = points[idx].astype(np.float32)
 
         gt = depthio.load_depth(rec.gt_interp)
 
         # Pseudo-radar from perturbed lidar (datasets.py:214-240).
-        if self.rng.random() < t.sample_probability_of_lidar:
+        if rng.random() < t.sample_probability_of_lidar:
             ly, lx = np.where(gt > 1)
             if len(ly) >= t.points_per_frame:
-                pick = self.rng.choice(len(ly), t.points_per_frame,
+                pick = rng.choice(len(ly), t.points_per_frame,
                                        replace=False)
-                px = lx[pick] + self.rng.normal(0, 25, t.points_per_frame)
+                px = lx[pick] + rng.normal(0, 25, t.points_per_frame)
                 px = np.clip(px, 0, gt.shape[1]).astype(np.int64)
-                pz = gt[ly[pick], lx[pick]] + self.rng.uniform(
+                pz = gt[ly[pick], lx[pick]] + rng.uniform(
                     0.0, 0.5, t.points_per_frame)
                 points = np.stack(
                     [px.astype(np.float32),
@@ -233,12 +250,12 @@ class RCNetTrainDataset:
         # enabled through rcnet_train.random_flip_type).
         H_img, W_img = gt.shape
         if ("horizontal" in t.random_flip_type
-                and self.rng.random() < 0.5 * t.augmentation_probability):
+                and rng.random() < 0.5 * t.augmentation_probability):
             image = np.ascontiguousarray(image[:, ::-1])
             gt = np.ascontiguousarray(gt[:, ::-1])
             points[:, 0] = W_img - 1 - points[:, 0]
         if ("vertical" in t.random_flip_type
-                and self.rng.random() < 0.5 * t.augmentation_probability):
+                and rng.random() < 0.5 * t.augmentation_probability):
             image = np.ascontiguousarray(image[::-1])
             gt = np.ascontiguousarray(gt[::-1])
             points[:, 1] = H_img - 1 - points[:, 1]
@@ -258,6 +275,23 @@ class RCNetTrainDataset:
             y0 = int(points[i, 1]) - pad_y
             x0 = int(points[i, 0]) - pad_x
             crops[i, :, :, 0] = gt_pad[y0:y0 + ph, x0:x0 + pw]
+
+        # Per-point noise on the coordinates fed to the point encoder
+        # (rcnet_transforms.py:158-168 applies it to points_arr only -
+        # boxes keep the un-noised geometry).  Disabled by default
+        # (random_noise_type='none'), matching both reference configs.
+        if (t.random_noise_type != "none" and t.random_noise_spread > 0
+                and rng.random() < 0.5 * t.augmentation_probability):
+            if t.random_noise_type == "gaussian":
+                points = points + t.random_noise_spread * rng.standard_normal(
+                    points.shape).astype(np.float32)
+            elif t.random_noise_type == "uniform":
+                points = points + t.random_noise_spread * (
+                    rng.random(points.shape).astype(np.float32) - 0.5)
+            else:
+                raise ValueError(
+                    f"unsupported noise type: {t.random_noise_type}")
+            points = points.astype(np.float32)
 
         return {
             "image": image,
@@ -317,12 +351,18 @@ class BatchLoader:
         self.drop_last = drop_last
         self.device_put = device_put
         self.sharding = sharding
+        self._epoch_count = 0
 
     def __len__(self) -> int:
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def epoch(self) -> Iterator[Dict[str, "jax.Array"]]:
+        # Advance the dataset's augmentation stream once per epoch so the
+        # per-(seed, epoch, index) sample rngs differ across epochs.
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(self._epoch_count)
+        self._epoch_count += 1
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(order)

@@ -99,6 +99,65 @@ def test_manifest_and_datasets(mini_root):
     assert s["gt_crops"].shape == (4, 48, 32, 1)
 
 
+def test_batch_loader_deterministic_across_threads(mini_root):
+    """Same seed => identical batches whether samples are produced by 1 or
+    4 worker threads (round-1 weak #4: a shared Generator across
+    ThreadPoolExecutor workers corrupted the augmentation streams)."""
+    from riders_tpu.io.input_pipeline import BatchLoader, SMLFrameDataset
+    from riders_tpu.io.manifest import build_manifest
+    cfg = mini_config(mini_root)
+    records = build_manifest(cfg.dataset, ("scene-a",),
+                             rcnet_interp="rcnet_0.1")
+
+    def collect(num_threads):
+        ds = SMLFrameDataset(cfg, records, train=True, seed=7)
+        loader = BatchLoader(ds, batch_size=2, shuffle=True,
+                             num_threads=num_threads, seed=3,
+                             device_put=False)
+        return [b for _ in range(2) for b in loader.epoch()]
+
+    a, b = collect(1), collect(4)
+    assert len(a) == len(b) > 0
+    for ba, bb in zip(a, b):
+        for k in ba:
+            np.testing.assert_array_equal(np.asarray(ba[k]),
+                                          np.asarray(bb[k]))
+    # epochs must differ (set_epoch advances the augmentation stream)
+    assert not all(
+        np.array_equal(np.asarray(a[0][k]), np.asarray(a[1][k]))
+        for k in a[0])
+
+
+def test_rcnet_point_noise(mini_root):
+    """Per-point noise (rcnet_transforms.py:158-168,398-432): perturbs the
+    points fed to the encoder, leaves boxes/crops at un-noised geometry."""
+    from riders_tpu.io.input_pipeline import RCNetTrainDataset
+    from riders_tpu.io.manifest import build_manifest
+    cfg = mini_config(mini_root)
+    records = build_manifest(cfg.dataset, ("scene-a",),
+                             rcnet_interp="rcnet_0.1")
+    cfg_n = cfg.replace(rcnet_train=dataclasses.replace(
+        cfg.rcnet_train, random_noise_type="gaussian",
+        random_noise_spread=2.0))
+    cfg_u = cfg.replace(rcnet_train=dataclasses.replace(
+        cfg.rcnet_train, random_noise_type="uniform",
+        random_noise_spread=1.0))
+
+    # the noise gate is Bernoulli(0.5) per sample; sweep seeds so at least
+    # one fires, and check invariants on every draw
+    fired = 0
+    for seed in range(8):
+        base = RCNetTrainDataset(cfg, records, seed=seed)[0]
+        noised = RCNetTrainDataset(cfg_n, records, seed=seed)[0]
+        np.testing.assert_array_equal(noised["boxes"], base["boxes"])
+        np.testing.assert_array_equal(noised["gt_crops"], base["gt_crops"])
+        if not np.allclose(noised["points"], base["points"]):
+            fired += 1
+        uni = RCNetTrainDataset(cfg_u, records, seed=seed)[0]
+        assert np.abs(uni["points"] - base["points"]).max() <= 0.5 + 1e-6
+    assert fired > 0
+
+
 def test_sml_training_and_validation_roundtrip(mini_root, tmp_path):
     from riders_tpu.pipelines.drivers import (
         evaluate_results_dir, train_sml, validate_sml)
