@@ -147,10 +147,17 @@ def convert_sml_state_dict(sd: Dict[str, np.ndarray],
             }
         params[f"refinenet{i}"] = block
 
+    # The reference's OutputConv module (blocks.py:177-196) nests a second
+    # `output_conv` Sequential, so real MidasNet_small_videpth checkpoints
+    # key it `scratch.output_conv.output_conv.N.*`; vanilla MiDaS-small
+    # checkpoints use the flat `scratch.output_conv.N.*` Sequential.
+    oc = ("scratch.output_conv.output_conv"
+          if "scratch.output_conv.output_conv.0.weight" in sd
+          else "scratch.output_conv")
     params["output_conv"] = {
-        "conv1": _conv_entry(sd, "scratch.output_conv.0"),
-        "conv2": _conv_entry(sd, "scratch.output_conv.2"),
-        "conv3": _conv_entry(sd, "scratch.output_conv.4"),
+        "conv1": _conv_entry(sd, f"{oc}.0"),
+        "conv2": _conv_entry(sd, f"{oc}.2"),
+        "conv3": _conv_entry(sd, f"{oc}.4"),
     }
     return {"params": params, "batch_stats": stats}
 

@@ -1,0 +1,367 @@
+"""End-to-end accuracy parity against the ACTUAL PyTorch reference.
+
+This is the round-1 VERDICT's Missing #1: run the reference's own
+validation protocol (/root/reference/val_zju.py:24-307 - its Optimizer,
+UTV loader, transforms, MidasNet_small_videpth and eval_utils) on the
+synthetic mini-scenes, run the riders_tpu fused pipeline with the SAME
+weights (via models/convert), and hold all 7 metrics to the <=1% budget
+of BASELINE.json.
+
+Environment notes:
+* torchvision and timm are not installed here and torch.hub has no
+  egress.  torchvision is pure glue on this path (transforms.Compose, and
+  functional adjusters that get_transforms disables), so a minimal stub
+  is installed; the hub efficientnet-lite3 download is replaced by a
+  local torch twin built from the fp32-exact gen-efficientnet blocks of
+  tests/test_convert_sml.py with the full lite3 stage plan.
+* Everything numeric on the reference path (alignment, scale-map
+  synthesis, resize conventions, network forward, metric formulas) is the
+  reference's own code, unmodified.
+
+Running this file writes PARITY.md at the repo root with the numbers.
+"""
+
+import dataclasses
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REFERENCE = "/root/reference"
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REFERENCE), reason="reference tree not mounted")
+
+METRIC_KEYS = ("mae", "rmse", "imae", "irmse", "abs_rel", "sq_rel",
+               "delta1")
+BUDGET = 0.01  # <=1% deviation per BASELINE.json
+
+
+def _install_torchvision_stub():
+    """modules/midas/transforms.py imports torchvision only for
+    transforms.Compose and functional color adjusters that
+    get_transforms(...) leaves disabled (random_* = None); utils/log_utils
+    uses make_grid only in TB summaries outside the validate path."""
+    if "torchvision" in sys.modules:
+        return
+    tv = types.ModuleType("torchvision")
+    tvt = types.ModuleType("torchvision.transforms")
+    tvf = types.ModuleType("torchvision.transforms.functional")
+    tvu = types.ModuleType("torchvision.utils")
+
+    class Compose:
+        def __init__(self, fns):
+            self.fns = fns
+
+        def __call__(self, sample):
+            for f in self.fns:
+                sample = f(sample)
+            return sample
+
+    tvt.Compose = Compose
+    tvt.functional = tvf
+    tv.transforms = tvt
+    tv.utils = tvu
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.transforms"] = tvt
+    sys.modules["torchvision.transforms.functional"] = tvf
+    sys.modules["torchvision.utils"] = tvu
+
+    # timm is only reached through val_zju's DPTDepthModel import chain;
+    # the midas-small path never calls it.  beit.py needs one name at
+    # import time.
+    tm = types.ModuleType("timm")
+    tmm = types.ModuleType("timm.models")
+    tmb = types.ModuleType("timm.models.beit")
+
+    def gen_relative_position_index(*a, **k):  # never called on this path
+        raise NotImplementedError("timm stub")
+
+    tmb.gen_relative_position_index = gen_relative_position_index
+    tml = types.ModuleType("timm.models.layers")
+
+    def get_act_layer(name):  # never called on this path
+        raise NotImplementedError("timm stub")
+
+    tml.get_act_layer = get_act_layer
+    tmm.beit = tmb
+    tmm.layers = tml
+    tm.models = tmm
+    sys.modules["timm"] = tm
+    sys.modules["timm.models"] = tmm
+    sys.modules["timm.models.beit"] = tmb
+    sys.modules["timm.models.layers"] = tml
+
+
+def _build_torch_lite3():
+    """Local torch twin of gen-efficientnet tf_efficientnet_lite3: the
+    exact module layout _make_efficientnet_backbone slices
+    (modules/midas/blocks.py:54-64), using the blocks proven fp32-exact
+    against flax in tests/test_convert_sml.py."""
+    import torch.nn as nn
+
+    from test_convert_sml import TDS, TMB, Conv2dSame
+    from riders_tpu.models.efficientnet import LITE3_STAGES
+
+    stem = 32
+
+    def make_stage(si):
+        k, s, e, c, r = LITE3_STAGES[si]
+        cin = stem if si == 0 else LITE3_STAGES[si - 1][3]
+        blocks = []
+        for j in range(r):
+            b_in = cin if j == 0 else c
+            stride = s if j == 0 else 1
+            blocks.append(TDS(b_in, c, k, stride) if e == 1
+                          else TMB(b_in, c, k, stride, e))
+        return nn.Sequential(*blocks)
+
+    eff = nn.Module()
+    eff.conv_stem = Conv2dSame(3, stem, 3, 2, bias=False)
+    eff.bn1 = nn.BatchNorm2d(stem, eps=1e-3)
+    eff.act1 = nn.ReLU6(inplace=True)
+    eff.blocks = nn.Sequential(*[make_stage(i) for i in range(7)])
+    return eff
+
+
+@pytest.fixture(scope="module")
+def reference_env():
+    """Import the reference with the torchvision stub and a hub patch."""
+    _install_torchvision_stub()
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    import torch
+
+    orig_hub_load = torch.hub.load
+
+    def fake_hub_load(repo, model, pretrained=False, exportable=True, **kw):
+        assert model == "tf_efficientnet_lite3", model
+        return _build_torch_lite3()
+
+    torch.hub.load = fake_hub_load
+    try:
+        import val_zju
+        yield val_zju
+    finally:
+        torch.hub.load = orig_hub_load
+
+
+@pytest.fixture(scope="module")
+def mini_root(tmp_path_factory):
+    from test_drivers import make_mini_dataset
+    root = str(tmp_path_factory.mktemp("parity_zju"))
+    make_mini_dataset(root, ["scene-a", "scene-b"])
+    return root
+
+
+def _mini_cfg(root):
+    from test_drivers import mini_config
+    return mini_config(root)
+
+
+@pytest.fixture(scope="module")
+def reference_model(reference_env):
+    """The reference SML with deterministic random weights and perturbed
+    BN statistics (so batch-norm folding is actually exercised)."""
+    import torch
+    import torch.nn as nn
+    from modules.midas.midas_net_custom import MidasNet_small_videpth
+
+    torch.manual_seed(0)
+    model = MidasNet_small_videpth(device="cpu", min_pred=0.1,
+                                   max_pred=255.0, in_channels=3)
+    with torch.no_grad():
+        for m in model.modules():
+            if isinstance(m, nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.1)
+                m.running_var.uniform_(0.5, 2.0)
+                m.weight.normal_(1.0, 0.1)
+                m.bias.normal_(0, 0.1)
+    model.eval()
+    return model
+
+
+def _run_reference_validation(val_zju, model, root, scenes):
+    import modules.midas.transforms as ref_transforms
+
+    val_zju.result_root = os.path.join(root, "output")
+    val_zju.min_pred = 0.1
+    val_zju.max_pred = 255.0
+    # net_w=96, net_h=64: the 'minimal' multiple-of-32 resize of the
+    # 96x128 mini frames (matches mini_config's sml.net_shape)
+    tfm = ref_transforms.get_transforms(96, 64,
+                                        depth_predictor="midas_small")
+    best = {"step": -1, "mae": np.inf, "rmse": np.inf, "imae": np.inf,
+            "irmse": np.inf, "abs_rel": np.inf, "sq_rel": np.inf,
+            "delta1": 0.0}
+    import torch
+    with torch.no_grad():
+        best = val_zju.validate(
+            best_results=best, ScaleMapLearner=model, step=0,
+            ScaleMapLearner_transform=tfm,
+            min_depth_inference=0.0, max_depth_inference=100.0,
+            min_depth_val=0.0, max_depth_val=50.0,
+            input_path=root, output_path=None, scenes=list(scenes),
+            save_output=False, interp="rcnet_0.1", global_alignment="s",
+            mono_type="inv", mono_model="any")
+    return {k: float(best[k]) for k in METRIC_KEYS}
+
+
+def _riders_variables(model_sd):
+    from riders_tpu.models import convert
+    sd = {k: np.asarray(v.detach().cpu().numpy())
+          for k, v in model_sd.items()}
+    return convert.convert_sml_state_dict(sd)
+
+
+def _run_riders_validation(cfg, variables, scenes):
+    import jax
+
+    from riders_tpu.io.input_pipeline import BatchLoader, SMLFrameDataset
+    from riders_tpu.io.manifest import build_manifest
+    from riders_tpu.models.factory import build_sml_model
+    from riders_tpu.pipelines.sml_inference import make_infer_fn
+
+    records = build_manifest(cfg.dataset, scenes, rcnet_interp="rcnet_0.1")
+    dataset = SMLFrameDataset(cfg, records, train=False)
+    loader = BatchLoader(dataset, batch_size=1, shuffle=False,
+                         drop_last=False)
+    model = build_sml_model(cfg)
+    infer = make_infer_fn(cfg, model, with_metrics=True)
+    per_frame = {k: [] for k in METRIC_KEYS}
+    for batch in loader.epoch():
+        m = jax.device_get(infer(variables, batch)["metrics"])
+        for k in METRIC_KEYS:
+            per_frame[k].append(float(np.asarray(m[k]).reshape(-1)[0]))
+    return {k: float(np.mean(v)) for k, v in per_frame.items()}
+
+
+def _write_parity_md(ref, riders, rel):
+    lines = [
+        "# PARITY - riders_tpu vs PyTorch reference",
+        "",
+        "End-to-end validation parity on the synthetic mini-scenes "
+        "(tests/test_reference_parity.py).  Both sides run their FULL "
+        "validation protocol - the reference's val_zju.validate "
+        "(its own Optimizer/transforms/model/eval_utils, with a local "
+        "fp32-exact efficientnet-lite3 twin standing in for the "
+        "torch.hub download) and the riders_tpu fused jitted pipeline - "
+        "with identical converted weights.",
+        "",
+        "| metric | reference | riders_tpu | rel. deviation | budget |",
+        "|---|---|---|---|---|",
+    ]
+    for k in METRIC_KEYS:
+        lines.append(f"| {k} | {ref[k]:.6f} | {riders[k]:.6f} | "
+                     f"{rel[k] * 100:.4f}% | 1% |")
+    lines += [
+        "",
+        f"All 7 metrics within the 1% budget: "
+        f"**{all(rel[k] <= BUDGET for k in METRIC_KEYS)}**.",
+        "",
+        "Stage-1 intermediates (full-res, one frame): see "
+        "test_stage1_intermediate_parity - max|int_depth diff| and "
+        "max|int_scales diff| asserted < 2e-3.",
+        "",
+        "Regenerate: `python -m pytest tests/test_reference_parity.py -q`.",
+    ]
+    with open(os.path.join(REPO_ROOT, "PARITY.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def test_stage1_intermediate_parity(reference_env, mini_root):
+    """int_depth / int_scales at full res: reference Optimizer + numpy
+    synthesis vs riders alignment/scale_map ops (val_zju.py:130-179)."""
+    import jax.numpy as jnp
+    from modules.estimator import Optimizer
+    import modules.midas.utils as mutils
+
+    from riders_tpu.io import depthio
+    from riders_tpu.ops import alignment, scale_map
+
+    cfg = _mini_cfg(mini_root)
+    sroot = os.path.join(mini_root, "scene-b")
+    mono = depthio.load_depth(os.path.join(sroot, "any", "000000.png"))
+    radar = depthio.load_depth(
+        os.path.join(sroot, "radar_png", "000000.png"))
+    rcnet = depthio.load_depth(os.path.join(
+        mini_root, "output", "rcnet_0.1", "scene-b", "depth_predicted",
+        "000000.png"))
+
+    # --- reference side (val_zju.py:130-179, numpy) ---
+    rv = (radar > 0.0) & (radar < 100.0)
+    radar_inv = np.where(rv, 1.0 / np.where(rv, radar, 1.0), 0.0)
+    qv = (rcnet > 0.0) & (rcnet < 100.0)
+    rc_inv = np.where(qv, 1.0 / np.where(qv, rcnet, 1.0), 0.0)
+
+    ga = Optimizer(estimate=mono.copy(), target=radar_inv, valid=rv,
+                   depth_type="inv")
+    ga.optimize_scale()
+    ga.apply_scale()
+    ga.clamp_min_max(clamp_min=0.1, clamp_max=255.0)
+    ref_int_depth = ga.output.astype(np.float32)
+
+    ref_scales = np.ones_like(ref_int_depth)
+    ref_scales[qv] = rc_inv[qv] / ref_int_depth[qv]
+    ref_scales[rv] = radar_inv[rv] / ref_int_depth[rv]
+    ref_scales = mutils.normalize_unit_range(ref_scales.astype(np.float32))
+
+    # --- riders side (jitted ops) ---
+    a = cfg.alignment
+    r_inv, r_valid = alignment.validity_and_inverse(
+        jnp.asarray(radar), a.min_depth, a.max_depth)
+    int_depth = alignment.align_mono_prior(
+        jnp.asarray(mono), r_inv, r_valid, mode=a.mode,
+        mono_type=a.mono_type, bounds_inv=a.bounds_inv,
+        bounds_pos=a.bounds_pos, iterations=a.iterations,
+        min_pred=a.min_pred, max_pred=a.max_pred)
+    q_inv, q_valid = alignment.validity_and_inverse(
+        jnp.asarray(rcnet), a.min_depth, a.max_depth)
+    scales = scale_map.synthesize_scale_map(
+        int_depth, r_inv, r_valid, q_inv, q_valid)
+
+    d_diff = np.abs(np.asarray(int_depth) - ref_int_depth).max()
+    s_diff = np.abs(np.asarray(scales) - ref_scales).max()
+    assert d_diff < 2e-3, f"int_depth max abs diff {d_diff}"
+    assert s_diff < 2e-3, f"int_scales max abs diff {s_diff}"
+
+
+def test_end_to_end_metric_parity(reference_env, reference_model,
+                                  mini_root):
+    """All 7 validation metrics within 1% of the actual reference."""
+    cfg = _mini_cfg(mini_root)
+    scenes = ("scene-b",)
+
+    ref = _run_reference_validation(reference_env, reference_model,
+                                    mini_root, scenes)
+    variables = _riders_variables(reference_model.state_dict())
+
+    # converted tree must exactly match the flax template
+    import jax
+    import jax.numpy as jnp
+    from riders_tpu.models import convert
+    from riders_tpu.models.factory import build_sml_model
+    model = build_sml_model(cfg)
+    h, w = cfg.sml.net_shape
+    template = jax.device_get(jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3)),
+        jnp.ones((1, h, w, 1))))
+    problems = convert.check_tree_matches(variables["params"],
+                                          template["params"])
+    problems += convert.check_tree_matches(variables["batch_stats"],
+                                           template["batch_stats"])
+    assert not problems, problems[:10]
+
+    riders = _run_riders_validation(cfg, variables, scenes)
+
+    rel = {}
+    for k in METRIC_KEYS:
+        rel[k] = abs(riders[k] - ref[k]) / max(abs(ref[k]), 1e-12)
+    _write_parity_md(ref, riders, rel)
+
+    bad = {k: f"{rel[k]:.4%} (ref {ref[k]:.6f} vs riders {riders[k]:.6f})"
+           for k in METRIC_KEYS if rel[k] > BUDGET}
+    assert not bad, f"metrics beyond the 1% budget: {bad}"
