@@ -64,6 +64,14 @@ def main(argv=None) -> int:
                        help="override the preset's training scenes")
         p.add_argument("--val-scenes", nargs="*", default=None,
                        help="override the preset's validation scenes")
+        p.add_argument("--multihost", action="store_true",
+                       help="join a multi-host JAX job before building the "
+                       "mesh (jax.distributed; coordinator via env or "
+                       "--coordinator)")
+        p.add_argument("--coordinator", default=None,
+                       help="coordinator address for --multihost")
+        p.add_argument("--num-processes", type=int, default=None)
+        p.add_argument("--process-id", type=int, default=None)
 
     p = sub.add_parser("train-sml", help="train the Scale Map Learner")
     common(p)
@@ -71,7 +79,8 @@ def main(argv=None) -> int:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--rcnet-interp", default=None,
-                   help="quasi-dense source tag, e.g. rcnet_0.1")
+                   help="scale-map knot source: rcnet_<thr> (stage-2 "
+                   "PNGs), none (raw radar), interp (dense IDW)")
     p.add_argument("--max-steps", type=int, default=None)
 
     p = sub.add_parser("train-rcnet", help="train RC-Net")
@@ -118,6 +127,11 @@ def main(argv=None) -> int:
         import bench
         bench.main()
         return 0
+
+    if getattr(args, "multihost", False):
+        from riders_tpu.parallel.sharding import initialize_multihost
+        initialize_multihost(args.coordinator, args.num_processes,
+                             args.process_id)
 
     cfg = _load_config(args)
 

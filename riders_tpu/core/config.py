@@ -175,7 +175,11 @@ class SMLTrainConfig:
     random_crop_size: Optional[Tuple[int, int]] = None
     random_radar_noise: Optional[Tuple[float, float]] = (-0.01, 0.01)
     random_rcnet_thresholds: Optional[Tuple[float, ...]] = None
-    rcnet_interp: str = "rcnet_0.1"                 # quasi-dense source
+    # Scale-map knot source (train_zju.py:483, val_zju.py:81-84):
+    # 'rcnet_<thr>' reads stage-2 quasi-dense PNGs; 'none' uses raw radar
+    # knots only; 'interp' densifies the knots over the frame
+    # (modules/interpolator.py Interpolator2D, device IDW approximation).
+    rcnet_interp: str = "rcnet_0.1"
     n_step_per_summary: int = 10
     n_step_per_checkpoint: int = 1000
 

@@ -257,6 +257,139 @@ def convert_rcnet_state_dict(sd: Dict[str, np.ndarray]
     return {"params": params, "batch_stats": stats}
 
 
+def _convtranspose(sd, key):
+    """torch ConvTranspose2d weight (I, O, kh, kw) -> flax ConvTranspose
+    kernel (kh, kw, I, O) with `transpose_kernel=False` (lax.conv_transpose
+    correlates with the un-flipped kernel, torch convolves with the flipped
+    one, so the spatial axes reverse)."""
+    return np.ascontiguousarray(
+        np.transpose(sd[key], (2, 3, 0, 1))[::-1, ::-1])
+
+
+def _mhdpa(sd, prefix, num_heads):
+    """timm ViT fused-qkv attention -> flax MultiHeadDotProductAttention
+    (query/key/value kernels (C, heads, hd), out kernel (heads, hd, C))."""
+    w = sd[prefix + ".qkv.weight"]          # (3C, C)
+    b = sd[prefix + ".qkv.bias"]            # (3C,)
+    C = w.shape[1]
+    hd = C // num_heads
+    out = {}
+    for name, row in (("query", 0), ("key", 1), ("value", 2)):
+        wi = w[row * C:(row + 1) * C]       # (C_out, C_in)
+        bi = b[row * C:(row + 1) * C]
+        out[name] = {"kernel": wi.T.reshape(C, num_heads, hd),
+                     "bias": bi.reshape(num_heads, hd)}
+    pw = sd[prefix + ".proj.weight"]        # (C, C)
+    out["out"] = {"kernel": pw.T.reshape(num_heads, hd, C),
+                  "bias": sd[prefix + ".proj.bias"]}
+    return out
+
+
+def _ln(sd, prefix):
+    return {"scale": sd[prefix + ".weight"], "bias": sd[prefix + ".bias"]}
+
+
+def _dense(sd, prefix):
+    return {"kernel": _linear(sd, prefix + ".weight"),
+            "bias": sd[prefix + ".bias"]}
+
+
+def convert_dpt_state_dict(sd: Dict[str, np.ndarray], cfg) -> Dict[str, Any]:
+    """DPTDepthModel (dpt_depth.py:30-185) state dict -> DPTScaleMapLearner
+    variables.
+
+    Handles both backbones the reference ships configs for: plain ViT-L/16
+    (`vitl16_384`, backbones/vit.py) and BEiT-L/16 (`beitl16_512`, the
+    train_zju.py:189 default; backbones/beit.py with decomposed relative
+    position biases, layer-scale gammas and q/v-only qkv biases).
+
+    `cfg` is a models.dpt.DPTConfig whose `backbone`/`pretrained_grid`
+    must match the checkpoint (beitl16_512 -> ('beit', 32); vitl16_384 ->
+    ('vit', 24)).
+
+    BEiT's relative-position tables keep their spatial block as-is; the 3
+    trailing cls rows are permuted from timm's (cls->tok, tok->cls,
+    cls<->cls) order to this repo's (cls<->cls, cls->tok, tok->cls) index
+    convention (models/dpt.py:_beit_rel_pos_index)."""
+    p = "pretrained.model."
+    params: Dict[str, Any] = {}
+
+    backbone: Dict[str, Any] = {
+        "patch_embed": {"kernel": _conv(sd, p + "patch_embed.proj.weight"),
+                        "bias": sd[p + "patch_embed.proj.bias"]},
+        "cls_token": sd[p + "cls_token"],
+    }
+    if cfg.backbone == "vit":
+        backbone["pos_embed"] = sd[p + "pos_embed"]
+
+    for i in range(cfg.depth):
+        bp = p + f"blocks.{i}."
+        blk: Dict[str, Any] = {
+            "norm1": _ln(sd, bp + "norm1"),
+            "norm2": _ln(sd, bp + "norm2"),
+            "mlp_fc1": _dense(sd, bp + "mlp.fc1"),
+            "mlp_fc2": _dense(sd, bp + "mlp.fc2"),
+        }
+        if cfg.backbone == "beit":
+            table = sd[bp + "attn.relative_position_bias_table"]
+            blk["attn"] = {
+                "qkv_kernel": _linear(sd, bp + "attn.qkv.weight"),
+                "q_bias": sd[bp + "attn.q_bias"],
+                "v_bias": sd[bp + "attn.v_bias"],
+                # spatial block unchanged; cls rows permuted to our index
+                # convention (see docstring)
+                "rel_pos_bias_table": np.concatenate(
+                    [table[:-3], table[[-1, -3, -2]]], axis=0),
+                "proj": _dense(sd, bp + "attn.proj"),
+            }
+            blk["gamma_1"] = sd[bp + "gamma_1"]
+            blk["gamma_2"] = sd[bp + "gamma_2"]
+        else:
+            blk["attn"] = _mhdpa(sd, bp + "attn", cfg.num_heads)
+        backbone[f"block{i}"] = blk
+    params["pretrained"] = backbone
+
+    # Reassembly (backbones/utils.py:167-244): readout project, 1x1
+    # channel projection, per-tap spatial resize.
+    for n in (1, 2, 3, 4):
+        ap = f"pretrained.act_postprocess{n}"
+        blk = {
+            "readout_project": _dense(sd, f"{ap}.0.project.0"),
+            "project": _conv_entry(sd, f"{ap}.3"),
+        }
+        if n in (1, 2):      # ConvTranspose x4 / x2
+            blk["resize"] = {"kernel": _convtranspose(sd, f"{ap}.4.weight"),
+                             "bias": sd[f"{ap}.4.bias"]}
+        elif n == 4:         # stride-2 conv /2
+            blk["resize"] = _conv_entry(sd, f"{ap}.4")
+        params[f"reassemble{n}"] = blk
+
+    for n in (1, 2, 3, 4):
+        params[f"layer{n}_rn"] = {
+            "kernel": _conv(sd, f"scratch.layer{n}_rn.weight")}
+
+    for n in (1, 2, 3, 4):
+        rn = f"scratch.refinenet{n}"
+        blk = {
+            "out_conv": _conv_entry(sd, f"{rn}.out_conv"),
+            "res_conf_unit2": {
+                "conv1": _conv_entry(sd, f"{rn}.resConfUnit2.conv1"),
+                "conv2": _conv_entry(sd, f"{rn}.resConfUnit2.conv2"),
+            },
+        }
+        if n != 4:  # refinenet4 takes no skip; resConfUnit1 is dead there
+            blk["res_conf_unit1"] = {
+                "conv1": _conv_entry(sd, f"{rn}.resConfUnit1.conv1"),
+                "conv2": _conv_entry(sd, f"{rn}.resConfUnit1.conv2"),
+            }
+        params[f"refinenet{n}"] = blk
+
+    params["head_conv1"] = _conv_entry(sd, "scratch.output_conv.0")
+    params["head_conv2"] = _conv_entry(sd, "scratch.output_conv.2")
+    params["head_conv3"] = _conv_entry(sd, "scratch.output_conv.4")
+    return {"params": params}
+
+
 def check_tree_matches(converted: Any, template: Any, path: str = ""
                        ) -> list:
     """Compare a converted pytree against a model-initialized template;

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -29,6 +30,13 @@ def delaunay_interpolate(depth_map: np.ndarray,
                          use_native: bool = True) -> np.ndarray:
     """Barycentric (Delaunay) interpolation of a sparse map
     (data_utils.py:231-274 semantics; host CPU).
+
+    This single function covers both of the reference's full-frame
+    variants: ``interpolate_depth`` (data_utils.py:231-274) and
+    ``interpolate_depth_delft`` (:333-367) are semantically identical
+    there (same interpolator, fill values and log-space handling; the
+    delft copy only adds the validity-map-from-depth default, which this
+    function also implements).
 
     When `use_native` and the C++ library is available (native/delaunay.cpp,
     ~27x scipy), it handles the non-log path; otherwise scipy/Qhull.  The
@@ -103,6 +111,37 @@ def interpolate_scale_knots(int_depth: np.ndarray,
     out = griddata(np.stack([ridx, cidx], axis=1), knots,
                    (grid_r, grid_c), method="linear", fill_value=1.0)
     return out.astype(np.float32)
+
+
+def idw_scale_map(int_depth_inv: jnp.ndarray,
+                  sparse_inv: jnp.ndarray,
+                  valid: jnp.ndarray,
+                  max_knots: int = 128) -> jnp.ndarray:
+    """Device-side Interpolator2D equivalent (modules/interpolator.py:20-50)
+    for the ``interp`` scale-map mode: densify the per-knot observed/prior
+    ratios ``sparse_inv/int_depth_inv`` over the full frame.
+
+    The reference's class uses scipy griddata (host Qhull); this is the
+    jit-friendly IDW approximation over a fixed knot bucket, selected by
+    ``sml_train.rcnet_interp == 'interp'`` - never silently substituted.
+    ``interpolate_scale_knots`` below is the host-exact twin the tests use
+    to bound the approximation.
+
+    All map inputs are (H, W); returns the (H, W) dense scale map with
+    ones where no knots exist (griddata fill_value=1.0 semantics).
+    """
+    H, W = int_depth_inv.shape
+    flat_valid = valid.reshape(-1).astype(jnp.float32)
+    _, idx = jax.lax.top_k(flat_valid, max_knots)
+    knot_mask = flat_valid[idx]
+    vv = (idx // W).astype(jnp.float32)
+    uu = (idx % W).astype(jnp.float32)
+    ratios = (sparse_inv.reshape(-1)[idx]
+              / jnp.maximum(int_depth_inv.reshape(-1)[idx], 1e-8))
+    dense = idw_interpolate(jnp.stack([uu, vv], axis=-1), ratios,
+                            knot_mask, (H, W))
+    return jnp.where(jnp.sum(knot_mask) > 0, dense,
+                     jnp.ones_like(int_depth_inv))
 
 
 def idw_interpolate(points_uv: jnp.ndarray,

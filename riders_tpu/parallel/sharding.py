@@ -68,6 +68,13 @@ def make_mesh(n_data: int = -1, n_points: int = 1,
     return Mesh(arr, (DATA_AXIS, POINTS_AXIS))
 
 
+def mesh_from_config(mesh_cfg,
+                     devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Build the (data, points) mesh from a core.config.MeshConfig."""
+    return make_mesh(mesh_cfg.data_parallel, mesh_cfg.points_parallel,
+                     devices)
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -47,13 +47,21 @@ def _dtype(cfg: RidersConfig):
     return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
 
+def _rcnet_dir(rcnet_interp: Optional[str]) -> Optional[str]:
+    """Quasi-dense PNG directory for 'rcnet_*' modes; the 'none'/'interp'
+    modes read no stage-2 outputs (val_zju.py:81-84: rcnet paths are only
+    assembled when 'rcnet' in interp)."""
+    return (rcnet_interp
+            if rcnet_interp and "rcnet" in rcnet_interp else None)
+
+
 def train_sml(cfg: RidersConfig, checkpoint_dir: str,
               resume: bool = False, log_path: Optional[str] = None,
               max_steps: Optional[int] = None) -> None:
     """Stage-3 training loop (train_zju.py:23-422)."""
     t = cfg.sml_train
     records = build_manifest(cfg.dataset, cfg.dataset.train_scenes,
-                             rcnet_interp=t.rcnet_interp or None)
+                             rcnet_interp=_rcnet_dir(t.rcnet_interp))
     dataset = SMLFrameDataset(cfg, records, train=True)
     loader = BatchLoader(dataset, t.batch_size, shuffle=True)
     if len(loader) == 0:
@@ -122,6 +130,7 @@ def train_rcnet(cfg: RidersConfig, checkpoint_dir: str,
         state = ckpt_lib.restore_train_state(checkpoint_dir, state)
         log_lib.log(f"Resumed from step {int(state.step)}", log_path)
     step_fn = rcnet_training.make_rcnet_train_step(cfg, model, tx)
+    summary_fn = rcnet_training.make_rcnet_summary_fn(cfg, model)
 
     writer = log_lib.ScalarWriter(checkpoint_dir, "train")
     timer = log_lib.StepTimer(total_steps)
@@ -139,9 +148,20 @@ def train_rcnet(cfg: RidersConfig, checkpoint_dir: str,
                 writer.write(step, info)
             if step % t.n_step_per_checkpoint == 0:
                 log_lib.log(
-                    f"{timer.format()} Loss={float(info['loss']):.5f}",
+                    f"{timer.format()} Loss={float(info['loss']):.5f} "
+                    f"P={float(info['precision']):.3f} "
+                    f"R={float(info['recall']):.3f}",
                     log_path)
                 ckpt_lib.save_train_state(checkpoint_dir, state)
+                # Visual summary: patch | GT label | response | validity
+                # (the reference's TB mosaics, rcnet_model.py:267-476).
+                panels = jax.device_get(summary_fn(state, batch))
+                log_lib.save_image_mosaic(
+                    os.path.join(checkpoint_dir, "summaries",
+                                 f"step{step}.png"),
+                    [panels["image_patch"], panels["label"],
+                     panels["response"], panels["validity"]],
+                    max_depth=1.0)
             if max_steps is not None and step >= max_steps:
                 ckpt_lib.save_train_state(checkpoint_dir, state)
                 writer.close()
@@ -260,7 +280,7 @@ def validate_sml(cfg: RidersConfig, checkpoint_dir: str,
     Returns the best metric bundle."""
     t = cfg.sml_train
     records = build_manifest(cfg.dataset, cfg.dataset.val_scenes,
-                             rcnet_interp=t.rcnet_interp or None)
+                             rcnet_interp=_rcnet_dir(t.rcnet_interp))
     dataset = SMLFrameDataset(cfg, records, train=False)
     loader = BatchLoader(dataset, batch_size, shuffle=False,
                          drop_last=False)

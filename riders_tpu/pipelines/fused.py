@@ -87,6 +87,36 @@ def make_fused_fn(cfg: RidersConfig, rcnet: RCNet, sml: ScaleMapLearner):
     return fused
 
 
+def make_sharded_fused_fn(cfg: RidersConfig, rcnet: RCNet,
+                          sml: ScaleMapLearner, mesh=None):
+    """Fused inference sharded over the configured device mesh
+    (core.config.MeshConfig): frames over `data`, the radar-point patch
+    axis over `points` - the B x K patch decode is RC-Net's dominant work
+    (SURVEY.md 2.10b), so a 640x512 stream scales across chips without
+    growing the frame batch.
+
+    Returns fn(rc_vars, sml_vars, batch) like `make_fused_fn`; inputs are
+    device_put with their shardings, variables replicated, and jit/GSPMD
+    partitions the whole program (the (B, K) -> B*K flatten keeps both
+    axis shardings)."""
+    from riders_tpu.parallel import sharding as sh
+
+    if mesh is None:
+        mesh = sh.mesh_from_config(cfg.mesh)
+    fused = make_fused_fn(cfg, rcnet, sml)
+    rep = sh.replicated(mesh)
+
+    def sharded(rc_vars, sml_vars, batch):
+        rc_vars = jax.device_put(rc_vars, rep)
+        sml_vars = jax.device_put(sml_vars, rep)
+        batch = sh.shard_batch(mesh, batch,
+                               point_keys=("radar_points", "point_mask"))
+        with mesh:
+            return fused(rc_vars, sml_vars, batch)
+
+    return sharded
+
+
 def _scatter_points(points: jnp.ndarray, mask: jnp.ndarray,
                     shape) -> jnp.ndarray:
     """Scatter (u, v, z) points to a sparse (H, W) depth map."""

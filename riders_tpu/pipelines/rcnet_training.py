@@ -91,10 +91,18 @@ def make_rcnet_train_step(cfg: RidersConfig, model: RCNet,
 
         loss = weighted_bce_with_logits(
             logits, labels, validity, t.w_positive_class)
+        # Correspondence-classifier quality scalars (the reference logs
+        # these visually via TB mosaics, rcnet_model.py:267-476; here they
+        # are in-graph and nearly free since logits are already resident).
+        pred_pos = (logits > 0).astype(jnp.float32) * validity
+        true_pos = jnp.sum(pred_pos * labels)
         aux = {
             "loss": loss,
             "n_positive": jnp.sum(labels * validity),
             "n_valid": jnp.sum(validity),
+            "precision": true_pos / jnp.maximum(jnp.sum(pred_pos), 1.0),
+            "recall": true_pos / jnp.maximum(jnp.sum(labels * validity),
+                                             1.0),
         }
         return loss, (aux, updates.get("batch_stats", batch_stats))
 
@@ -108,3 +116,40 @@ def make_rcnet_train_step(cfg: RidersConfig, model: RCNet,
                           batch_stats=new_stats, opt_state=new_opt), aux
 
     return train_step
+
+
+def make_rcnet_summary_fn(cfg: RidersConfig, model: RCNet):
+    """Visual training summaries - the reference's per-n_step_per_summary
+    TB image grids (rcnet_model.log_summary:267-476) in the repo's idiom:
+    a jitted forward on the current batch returning, for the first point
+    of frame 0, the input image patch, the synthesized GT label map, the
+    sigmoid response and the validity map, ready for
+    `core.logging.save_image_mosaic`.
+
+    Run only on summary steps; one extra inference-mode forward."""
+    t = cfg.rcnet_train
+    ph, pw = cfg.rcnet.patch_size
+    lo, hi = cfg.rcnet.normalized_image_range
+
+    @jax.jit
+    def summarize(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        response = model.apply(
+            variables, batch["image"], batch["points"], batch["boxes"],
+            batch["point_mask"], train=False, return_logits=False)[..., 0]
+        labels, validity = synthesize_labels(
+            batch["gt_crops"], batch["points"][..., 2],
+            t.max_distance_correspondence, t.set_invalid_to_negative_class)
+        x1 = batch["boxes"][0, 0, 0].astype(jnp.int32)
+        y1 = batch["boxes"][0, 0, 1].astype(jnp.int32)
+        patch = jax.lax.dynamic_slice(
+            batch["image"][0], (y1, x1, 0), (ph, pw, 3))
+        return {
+            "image_patch": (patch - lo) / (hi - lo),  # back to [0, 1]
+            "response": response[0, 0],
+            "label": labels[0, 0, ..., 0],
+            "validity": validity[0, 0, ..., 0],
+        }
+
+    return summarize

@@ -45,27 +45,54 @@ class FusedServer:
         """Stream host batches through the device; yields depth maps in
         order.  Upload happens on a worker thread while the device computes
         the previous batch (JAX dispatch is async - results are only
-        blocked on at yield time)."""
+        blocked on at yield time).
+
+        The uploader thread is always stopped and joined, including when
+        the caller abandons the generator early (generator .close() /
+        GeneratorExit runs the finally block)."""
         upload_q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        stop = threading.Event()
 
         def uploader():
             try:
                 for batch in batches:
-                    upload_q.put(jax.device_put(batch))
+                    staged = jax.device_put(batch)
+                    # Bounded put that aborts when the consumer went away
+                    # (a plain blocking put would deadlock the join below).
+                    while not stop.is_set():
+                        try:
+                            upload_q.put(staged, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             finally:
                 upload_q.put(None)
 
         thread = threading.Thread(target=uploader, daemon=True)
         thread.start()
 
-        in_flight = []
-        while True:
-            batch = upload_q.get()
-            if batch is None:
-                break
-            out = self.fused_fn(self.rc_vars, self.sml_vars, batch)
-            in_flight.append(out)
-            if len(in_flight) >= self.depth:
-                yield np.asarray(in_flight.pop(0))
-        for out in in_flight:
-            yield np.asarray(out)
+        try:
+            in_flight = []
+            while True:
+                batch = upload_q.get()
+                if batch is None:
+                    break
+                out = self.fused_fn(self.rc_vars, self.sml_vars, batch)
+                in_flight.append(out)
+                if len(in_flight) >= self.depth:
+                    yield np.asarray(in_flight.pop(0))
+            for out in in_flight:
+                yield np.asarray(out)
+        finally:
+            stop.set()
+            # Drain so a blocked uploader can place its sentinel and exit.
+            while True:
+                try:
+                    if upload_q.get_nowait() is None:
+                        break
+                except queue.Empty:
+                    if not thread.is_alive():
+                        break
+            thread.join(timeout=10.0)

@@ -23,6 +23,7 @@ from riders_tpu.core import metrics as metrics_lib
 from riders_tpu.core.config import RidersConfig
 from riders_tpu.models.sml import ScaleMapLearner
 from riders_tpu.ops import alignment, scale_map
+from riders_tpu.ops import interp as interp_ops
 from riders_tpu.ops.resize import resize2d
 
 
@@ -38,7 +39,11 @@ def prepare_sml_inputs(cfg: RidersConfig,
       mono_pred: relative (inverse) monocular depth prior.
       radar: sparse radar depth in metres (0 = no return).
       rcnet: quasi-dense stage-2 depth in metres, or None for the
-        radar-only path (interp='none').
+        non-RCNet paths selected by ``cfg.sml_train.rcnet_interp``:
+        'none' scatters raw radar knots only (val_zju.py:176-179),
+        'interp' densifies the knot scales over the frame - the
+        Interpolator2D path (modules/interpolator.py:20-50) as a
+        device IDW approximation (ops/interp.idw_scale_map).
     Returns:
       x: (net_h, net_w, 3) normalized (int_depth, int_scales, gray).
       d: (net_h, net_w, 1) unnormalized aligned inverse depth.
@@ -59,6 +64,13 @@ def prepare_sml_inputs(cfg: RidersConfig,
             rcnet, a.min_depth, a.max_depth)
         scales = scale_map.synthesize_scale_map(
             int_depth, radar_inv, radar_valid, rcnet_inv, rcnet_valid)
+    elif cfg.sml_train.rcnet_interp == "interp":
+        dense = interp_ops.idw_scale_map(int_depth, radar_inv, radar_valid)
+        # Raw radar knots overwrite their own pixels exactly, as the rcnet
+        # path does (val_zju.py:173-175); then unit-range normalize.
+        scales = jnp.where(radar_valid.astype(bool),
+                           radar_inv / int_depth, dense)
+        scales = scale_map.normalize_unit_range(scales)
     else:
         scales = scale_map.synthesize_scale_map(
             int_depth, radar_inv, radar_valid)
@@ -90,10 +102,12 @@ def make_infer_fn(cfg: RidersConfig, model: ScaleMapLearner,
     def one_frame_inputs(image, mono_pred, radar, rcnet):
         return prepare_sml_inputs(cfg, image, mono_pred, radar, rcnet)
 
+    use_rcnet = "rcnet" in (cfg.sml_train.rcnet_interp or "")
+
     @jax.jit
     def infer(variables, batch: Dict[str, jnp.ndarray]):
         image = batch["image"]
-        rcnet = batch.get("rcnet")
+        rcnet = batch.get("rcnet") if use_rcnet else None
         if rcnet is None:
             x, d = jax.vmap(
                 lambda i, m, r: prepare_sml_inputs(cfg, i, m, r, None))(

@@ -79,9 +79,11 @@ def make_train_step(cfg: RidersConfig, model: ScaleMapLearner,
     t = cfg.sml_train
     net_shape = cfg.sml.net_shape
 
+    use_rcnet = "rcnet" in (t.rcnet_interp or "")
+
     def loss_fn(params, batch_stats, batch):
         # Stage-1 on device, vmapped: replaces train_zju.py:270-343.
-        rcnet = batch.get("rcnet")
+        rcnet = batch.get("rcnet") if use_rcnet else None
         if rcnet is not None:
             x, d = jax.vmap(
                 lambda i, m, r, q: prepare_sml_inputs(cfg, i, m, r, q))(

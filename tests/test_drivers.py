@@ -73,7 +73,8 @@ def mini_config(root):
             n_step_per_summary=1, learning_schedule=(1, 2)),
         rcnet_train=dataclasses.replace(
             cfg.rcnet_train, batch_size=1, points_per_frame=4,
-            n_step_per_checkpoint=2, learning_schedule=(1,)),
+            n_step_per_checkpoint=2, n_step_per_summary=1,
+            learning_schedule=(1,)),
         compute_dtype="float32",
     )
 
@@ -180,11 +181,41 @@ def test_sml_training_and_validation_roundtrip(mini_root, tmp_path):
     assert abs(results["delta1"] - best["delta1"]) < 0.05
 
 
+def test_validate_sml_interp_modes(mini_root, tmp_path):
+    """The non-RCNet scale-map paths (val_zju.py:81-84, 176-179;
+    modules/interpolator.py): 'none' = raw radar knots, 'interp' = dense
+    IDW knot interpolation.  Neither requires stage-2 outputs on disk."""
+    from riders_tpu.pipelines.drivers import train_sml, validate_sml
+    cfg = mini_config(mini_root)
+    ckpt_dir = str(tmp_path / "sml_ckpt_interp")
+
+    results = {}
+    for mode in ("none", "interp"):
+        mcfg = cfg.replace(sml_train=dataclasses.replace(
+            cfg.sml_train, rcnet_interp=mode))
+        if mode == "none":
+            train_sml(mcfg, ckpt_dir, max_steps=1)
+        best = validate_sml(mcfg, ckpt_dir, batch_size=2)
+        assert np.isfinite(best["mae"]) and best["step"] > 0
+        results[mode] = best
+    # the two modes build different scale maps -> different metrics
+    assert results["none"]["mae"] != results["interp"]["mae"]
+
+
 def test_rcnet_training_and_generation(mini_root, tmp_path):
     from riders_tpu.pipelines.drivers import run_rcnet, train_rcnet
     cfg = mini_config(mini_root)
     ckpt_dir = str(tmp_path / "rc_ckpt")
     train_rcnet(cfg, ckpt_dir, max_steps=2)
+
+    # training observability: image mosaic per checkpoint step
+    # (rcnet_model.log_summary:267-476 equivalent) + P/R scalars
+    assert os.path.exists(os.path.join(ckpt_dir, "summaries",
+                                       "step2.png"))
+    import json
+    with open(os.path.join(ckpt_dir, "scalars-train.jsonl")) as f:
+        last = json.loads(f.readlines()[-1])
+    assert "precision" in last and "recall" in last
 
     out_root = str(tmp_path / "rcnet_out")
     run_rcnet(cfg, ckpt_dir, out_root, scenes=("scene-b",),

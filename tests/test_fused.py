@@ -64,3 +64,24 @@ def test_fused_pipeline_end_to_end(rng):
     # the bulk of the map must be positive metric depth
     assert np.mean(d > 0) > 0.95
     assert d.mean() > 1.0
+
+    # ---- FusedServer: pipelined serving over the same fn ----
+    import threading
+
+    from riders_tpu.pipelines.serving import FusedServer
+
+    host_batch = {k: np.asarray(v) for k, v in batch.items()}
+    server = FusedServer(fused, rc_vars, sml_vars, depth=2)
+
+    n_before = threading.active_count()
+    outs = list(server.run(iter([host_batch] * 4)))
+    assert len(outs) == 4
+    np.testing.assert_allclose(outs[0], d, rtol=1e-5, atol=1e-5)
+    assert threading.active_count() == n_before  # uploader joined
+
+    # abandoning the stream early still stops + joins the uploader
+    gen = server.run(iter([host_batch] * 8))
+    first = next(gen)
+    assert first.shape == (B, H, W)
+    gen.close()
+    assert threading.active_count() == n_before

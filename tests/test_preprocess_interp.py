@@ -83,6 +83,12 @@ def test_delaunay_interpolate_matches_scipy(rng):
     ref = interp(np.stack([qr.ravel(), qc.ravel()], 1)).reshape(40, 50)
     np.testing.assert_allclose(ours, ref, atol=1e-5)
 
+    # interpolate_depth_delft (data_utils.py:333-367) = interpolate_depth
+    # with a default validity map; same function here, same result.
+    np.testing.assert_allclose(
+        delaunay_interpolate(depth, validity_map=depth > 0.0,
+                             use_native=False), ours, atol=0)
+
 
 def test_interpolate_scale_knots_constant():
     int_depth = np.full((20, 24), 0.1, np.float32)
@@ -107,6 +113,33 @@ def test_idw_interpolate_hits_knots():
     # no valid points -> zeros
     out0 = np.asarray(idw_interpolate(pts, vals, jnp.zeros(2), (24, 32)))
     assert (out0 == 0).all()
+
+
+def test_idw_scale_map_approximates_host_griddata():
+    from riders_tpu.ops.interp import idw_scale_map
+    rng = np.random.default_rng(3)
+    int_depth = np.full((20, 24), 0.1, np.float32)
+    sparse = np.zeros((20, 24), np.float32)
+    valid = np.zeros((20, 24), np.float32)
+    for (r, c) in [(2, 3), (15, 20), (18, 2), (5, 12), (9, 9)]:
+        sparse[r, c] = 0.1 * (1.5 + rng.random())
+        valid[r, c] = 1.0
+    exact = interpolate_scale_knots(int_depth, sparse, valid)
+    approx = np.asarray(idw_scale_map(jnp.asarray(int_depth),
+                                      jnp.asarray(sparse),
+                                      jnp.asarray(valid), max_knots=8))
+    # the IDW map reproduces every knot exactly and tracks the host
+    # griddata interpolant loosely in between (documented approximation)
+    for (r, c) in [(2, 3), (15, 20), (18, 2), (5, 12), (9, 9)]:
+        assert abs(approx[r, c] - sparse[r, c] / 0.1) < 0.02
+    hull = exact != 1.0
+    assert np.mean(np.abs(approx[hull] - exact[hull])) < 0.25
+
+    # no knots at all -> ones (griddata fill_value=1.0 semantics)
+    ones = np.asarray(idw_scale_map(jnp.asarray(int_depth),
+                                    jnp.zeros((20, 24), jnp.float32),
+                                    jnp.zeros((20, 24), jnp.float32)))
+    assert (ones == 1.0).all()
 
 
 def test_ransac_recovers_scale_shift(rng):

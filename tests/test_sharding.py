@@ -69,6 +69,77 @@ def test_shard_batch_layouts(rng):
                                   batch["image"])
 
 
+def test_points_sharded_fused_inference_matches_unsharded(rng):
+    """The fused pipeline over a (data=4, points=2) mesh - the B x K patch
+    axis actually split across devices - must match the unsharded result
+    (MeshConfig.points_parallel consumed by a real pipeline)."""
+    import dataclasses
+
+    from riders_tpu.core.config import zju_config
+    from riders_tpu.models.rcnet import RCNet
+    from riders_tpu.models.sml import ScaleMapLearner
+    from riders_tpu.pipelines.fused import make_fused_fn, make_sharded_fused_fn
+
+    cfg = zju_config()
+    cfg = cfg.replace(
+        dataset=dataclasses.replace(cfg.dataset, image_shape=(96, 128),
+                                    max_points=8),
+        sml=dataclasses.replace(cfg.sml, net_shape=(64, 96)),
+        rcnet=dataclasses.replace(cfg.rcnet, patch_size=(48, 32)),
+        mesh=dataclasses.replace(cfg.mesh, data_parallel=4,
+                                 points_parallel=2),
+    )
+    rcnet = RCNet(config=cfg.rcnet)
+    sml = ScaleMapLearner(config=cfg.sml)
+
+    H, W = cfg.dataset.image_shape
+    K = cfg.dataset.max_points
+    ph, pw = cfg.rcnet.patch_size
+    B = 4
+
+    depth = (5.0 + 40.0 * rng.random((B, H, W))).astype(np.float32)
+    pts = np.zeros((B, K, 3), np.float32)
+    mask = np.zeros((B, K), np.float32)
+    for b in range(B):
+        u = rng.integers(0, W, 6)
+        v = rng.integers(0, H, 6)
+        pts[b, :6] = np.stack([u, v, depth[b, v, u]], axis=1)
+        mask[b, :6] = 1.0
+    batch = {
+        "image": rng.random((B, H, W, 3)).astype(np.float32),
+        "mono_pred": ((1.0 / depth) / 0.05).astype(np.float32),
+        "radar_points": pts,
+        "point_mask": mask,
+    }
+
+    tiny_img = jnp.zeros((1, 32 + ph, 32 + pw, 3))
+    tiny_pts = jnp.asarray([[[pw / 2, ph / 2, 10.0]]], jnp.float32)
+    tiny_box = jnp.asarray([[[0.0, 0.0, float(pw), float(ph)]]],
+                           jnp.float32)
+    rc_vars = jax.jit(rcnet.init)(jax.random.PRNGKey(0), tiny_img,
+                                  tiny_pts, tiny_box, jnp.ones((1, 1)))
+    h, w = cfg.sml.net_shape
+    sml_vars = jax.jit(sml.init)(jax.random.PRNGKey(1),
+                                 jnp.zeros((1, h, w, 3)),
+                                 jnp.ones((1, h, w, 1)))
+
+    single = make_fused_fn(cfg, rcnet, sml)(
+        jax.device_put(rc_vars, jax.devices()[0]),
+        jax.device_put(sml_vars, jax.devices()[0]),
+        {k: jax.device_put(v, jax.devices()[0]) for k, v in batch.items()})
+
+    sharded_fn = make_sharded_fused_fn(cfg, rcnet, sml)
+    sharded = np.asarray(sharded_fn(rc_vars, sml_vars, batch))
+    single = np.asarray(single)
+
+    # Partitioned reductions (alignment solve, scale-map min/max) reorder
+    # floating-point sums, so isolated pixels can differ at ~1e-4 relative;
+    # require near-exactness in aggregate and bounded worst-case.
+    err = np.abs(sharded - single) / (np.abs(single) + 1e-3)
+    assert np.mean(err) < 1e-6, float(np.mean(err))
+    assert np.max(err) < 5e-3, float(np.max(err))
+
+
 def test_data_parallel_step_matches_single_device(rng):
     """A gradient step under with_data_sharding must equal the unsharded
     result (XLA inserts the all-reduce)."""
