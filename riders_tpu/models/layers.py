@@ -75,6 +75,89 @@ class ConvBlock(nn.Module):
         return x
 
 
+class FusedStemConv(nn.Module):
+    """Stride-2 stem ConvBlock (conv -> BN -> activation) with a fused
+    Pallas inference path.
+
+    Parameter tree is identical to ConvBlock ("conv"/"bn" children), so
+    checkpoints and the torch converter are unaffected.  On TPU bf16
+    inference the conv+BN+activation dispatch to the im2col-matmul kernel
+    (ops/pallas/stem.py) - XLA's direct conv is MXU-hostile at tiny input
+    channel counts and brackets the op with relayout copies (~4.5 ms/call
+    of the 640x512 bench, PERF.md).  Training, init, CPU and f32 paths use
+    the literal formulation (the Pallas kernel has no JVP rule).
+    """
+
+    features: int
+    kernel_size: int = 7
+    activation_name: str = "leaky_relu"
+    use_batch_norm: bool = True
+    dtype: Dtype = jnp.float32
+    # When set, return a fill-padded canvas of at least (ceil(H/2)+r,
+    # ceil(W/2)+c) rows/cols instead of the exact conv extent - the RoI
+    # pooling kernel's input geometry (ops/pallas/roi_pool.roi_window_pad)
+    # so the stem output needs no slice/pad/relayout pass before pooling.
+    roi_pad: Optional[Tuple[int, int]] = None
+    pad_fill: float = -1e30
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        import jax
+
+        k = self.kernel_size
+        pad = k // 2
+        act = activation_fn(self.activation_name)
+        conv = nn.Conv(self.features, (k, k), strides=(2, 2),
+                       padding=[(pad, pad), (pad, pad)], use_bias=False,
+                       dtype=self.dtype, name="conv")
+        bn = (nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                           epsilon=1e-5, dtype=self.dtype, name="bn")
+              if self.use_batch_norm else None)
+
+        ho, wo = -(-x.shape[-3] // 2), -(-x.shape[-2] // 2)
+        pad_to = ((ho + self.roi_pad[0], wo + self.roi_pad[1])
+                  if self.roi_pad is not None else None)
+
+        slopes = {"leaky_relu": 0.2, "relu": 0.0, "linear": 1.0}
+        use_pallas = (not train and not self.is_initializing()
+                      and self.dtype == jnp.bfloat16
+                      and jax.default_backend() not in ("cpu",)
+                      and k % 4 == 3
+                      and self.activation_name in slopes)
+        if not use_pallas:
+            h = conv(x)
+            if bn is not None:
+                h = bn(h)
+            h = act(h) if act is not None else h
+            if pad_to is not None:
+                h = jnp.pad(
+                    h, ((0, 0), (0, pad_to[0] - ho), (0, pad_to[1] - wo),
+                        (0, 0)),
+                    constant_values=jnp.asarray(self.pad_fill, h.dtype))
+            return h
+
+        from riders_tpu.ops.pallas.stem import stem_conv_pallas
+
+        params = self.variables["params"]
+        kernel = params["conv"]["kernel"]
+        if self.use_batch_norm:
+            stats = self.variables["batch_stats"]["bn"]
+            g = (params["bn"]["scale"]
+                 / jnp.sqrt(stats["var"] + 1e-5)).astype(jnp.float32)
+            b = params["bn"]["bias"] - stats["mean"] * g
+        else:
+            g = jnp.ones((self.features,), jnp.float32)
+            b = jnp.zeros((self.features,), jnp.float32)
+        out = stem_conv_pallas(
+            x, kernel, g, b, k=k,
+            negative_slope=slopes[self.activation_name],
+            pad_to=pad_to if pad_to is not None else (0, 0),
+            fill=self.pad_fill)
+        if pad_to is None:
+            out = out[:, :ho]
+        return out
+
+
 class TransposeConvBlock(nn.Module):
     """Stride-2 transpose conv with torch output_padding=1 semantics
     (net_utils.py:94-153): output spatial size is exactly 2x input."""

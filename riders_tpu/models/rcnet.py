@@ -34,6 +34,7 @@ from riders_tpu.models.layers import (
     ConvBlock,
     DecoderBlock,
     FullyConnected,
+    FusedStemConv,
     ResNetBlock,
     activation_fn,
     max_pool_same,
@@ -46,27 +47,36 @@ Dtype = Any
 class ResNetEncoder(nn.Module):
     """ResNet-18-style encoder with skips (networks.py:10-270).
 
-    Returns (latent at /32, [skips at /2, /4, /8, /16])."""
+    Returns (latent at /32, [skips at /2, /4, /8, /16]).  When
+    ``skip1_roi_pad`` is set, skips[0] is a _NEG-padded canvas with those
+    extra rows/cols (the RoI pooling kernel's input geometry - see
+    FusedStemConv.roi_pad); its true extent is (ceil(H/2), ceil(W/2))."""
 
     n_filters: Sequence[int] = (32, 64, 128, 128, 128)
     activation: str = "leaky_relu"
     use_batch_norm: bool = True
     n_blocks_per_stage: int = 2
     dtype: Dtype = jnp.float32
+    skip1_roi_pad: Optional[Tuple[int, int]] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False
                  ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
         act = activation_fn(self.activation)
         skips: List[jnp.ndarray] = []
+        ho, wo = -(-x.shape[-3] // 2), -(-x.shape[-2] // 2)
 
-        # 1/1 -> 1/2: 7x7 stride-2 conv.
-        h = ConvBlock(self.n_filters[0], 7, 2, act, self.use_batch_norm,
-                      dtype=self.dtype, name="conv1")(x, train)
+        # 1/1 -> 1/2: 7x7 stride-2 conv (Pallas-fused on bf16 inference).
+        h = FusedStemConv(self.n_filters[0], 7, self.activation,
+                          self.use_batch_norm, dtype=self.dtype,
+                          roi_pad=self.skip1_roi_pad,
+                          name="conv1")(x, train)
         skips.append(h)
 
-        # 1/2 -> 1/4: max pool then residual stage.
-        h = max_pool_same(h, 3, 2)
+        # 1/2 -> 1/4: max pool then residual stage.  On the padded canvas
+        # the _NEG fill behaves as the pool's -inf padding; slice to the
+        # true pooled extent (a no-op when unpadded).
+        h = max_pool_same(h, 3, 2)[:, :-(-ho // 2), :-(-wo // 2)]
         for si, feat in enumerate(self.n_filters[1:]):
             stride = 1 if si == 0 else 2
             for bi in range(self.n_blocks_per_stage):
@@ -153,15 +163,22 @@ class RCNet(nn.Module):
         lh, lw = cfg.latent_shape
         d_model = cfg.n_neurons_encoder_depth[-1]
 
+        from riders_tpu.ops.pallas.roi_pool import roi_window_pad
+
+        s1_pad = roi_window_pad(cfg.patch_size, 0.5,
+                                cfg.n_filters_encoder_image[0])
         latent, skips = ResNetEncoder(
             cfg.n_filters_encoder_image, cfg.activation, cfg.use_batch_norm,
-            dtype=self.dtype, name="encoder_image")(image, train)
+            dtype=self.dtype, skip1_roi_pad=s1_pad,
+            name="encoder_image")(image, train)
+        s1_hw = (-(-image.shape[-3] // 2), -(-image.shape[-2] // 2))
 
         # The Pallas pooling kernel is inference-only (no JVP); training
         # differentiates through the XLA formulation.
         pooled_latent, pooled_skips = roi_pool_pyramid_batched(
             latent, skips, boxes, cfg.patch_size,
-            use_pallas=False if train else None)
+            use_pallas=False if train else None,
+            skip1_true_hw=s1_hw)
         # -> (B, K, h, w, C) each; flatten the frame x point axes.
         flat = lambda t: t.reshape((B * K,) + t.shape[2:])
         pooled_latent = flat(pooled_latent)

@@ -68,16 +68,40 @@ def optimize_scale(prediction: jnp.ndarray,
                    target: jnp.ndarray,
                    mask: jnp.ndarray,
                    bounds: Tuple[float, float],
-                   iterations: int = 64) -> jnp.ndarray:
+                   iterations: int = 64,
+                   gather_bucket: int = 512) -> jnp.ndarray:
     """Bounded scale-only solve, golden-section, fixed iteration count.
 
     Matches scipy.optimize.minimize_scalar(..., bounds=...) on the convex
     piecewise-linear objective to ~1e-9 relative interval width at 64 steps
     (0.618^64), far below the reference's xatol=1e-5.
+
+    The objective touches only masked pixels; radar masks carry at most a
+    few hundred returns on a ~300k-pixel frame, so the valid pixels are
+    gathered into a `gather_bucket` vector once and the 2*iterations
+    objective evaluations run on that instead of the full map (the dense
+    sums were ~0.7 ms/call of the 640x512 bench, PERF.md).  Frames with
+    more than `gather_bucket` valid pixels fall back to the dense sums at
+    runtime (lax.cond) - identical result, original cost.
     """
-    p = prediction.astype(jnp.float32)
-    t = target.astype(jnp.float32)
-    m = mask.astype(jnp.float32)
+    p = prediction.astype(jnp.float32).reshape(-1)
+    t = target.astype(jnp.float32).reshape(-1)
+    m = mask.astype(jnp.float32).reshape(-1)
+
+    if p.size > 2 * gather_bucket:
+        cnt = jnp.sum(m)
+        _, idx = jax.lax.top_k(m, gather_bucket)
+        pg, tg, mg = p[idx], t[idx], m[idx]
+        return jax.lax.cond(
+            cnt <= gather_bucket,
+            lambda: _golden_section(pg, tg, mg, bounds, iterations),
+            lambda: _golden_section(p, t, m, bounds, iterations))
+    return _golden_section(p, t, m, bounds, iterations)
+
+
+def _golden_section(p: jnp.ndarray, t: jnp.ndarray, m: jnp.ndarray,
+                    bounds: Tuple[float, float],
+                    iterations: int) -> jnp.ndarray:
     lo = jnp.float32(bounds[0])
     hi = jnp.float32(bounds[1])
 

@@ -98,39 +98,55 @@ def _w_bin_max_flat(rows: jnp.ndarray, roi_static: int, out_n: int,
     return jnp.concatenate(outs, axis=1)
 
 
+def roi_window_pad(box_size: Tuple[int, int], scale: float,
+                   channels: int) -> Tuple[int, int]:
+    """(win_h, win_w) padding this kernel needs beyond the feature extent
+    (8-aligned row window; lane-128-aligned (W*C) window).  A producer
+    that writes its output into a (H + win_h, W + win_w) _NEG-filled
+    canvas lets `roi_max_pool_pallas(..., true_hw=...)` consume it with
+    zero slice/pad/relayout passes."""
+    win_h = -(-(_max_roi(box_size[0], scale) + 8) // 8) * 8
+    align = 128 // math.gcd(channels, 128)
+    win_w = -(-(_max_roi(box_size[1], scale) + align) // align) * align
+    return win_h, win_w
+
+
 def roi_max_pool_pallas(feature: jnp.ndarray,
                         boxes: jnp.ndarray,
                         scale: float,
                         out_size: Tuple[int, int],
                         box_size: Tuple[int, int],
-                        interpret: bool = False) -> jnp.ndarray:
+                        interpret: bool = False,
+                        true_hw: Tuple[int, int] | None = None
+                        ) -> jnp.ndarray:
     """Batched RoI max pool, identical semantics to ops/patches.py
     roi_max_pool vmapped over (B, K).
 
     feature: (B, H, W, C); boxes: (B, K, 4) [x1, y1, x2, y2].
+    When `true_hw=(H, W)` is given, `feature` is already a _NEG-padded
+    canvas of shape (B, rows >= H + win_h, W + win_w, C) (see
+    roi_window_pad) and is consumed via a free reshape.
     Returns (B, K, out_h, out_w, C) in the feature dtype.
     """
-    B, H, W, C = feature.shape
+    B, C = feature.shape[0], feature.shape[-1]
+    H, W = true_hw if true_hw is not None else feature.shape[1:3]
     K = boxes.shape[1]
     out_h, out_w = out_size
-    win_h_raw = _max_roi(box_size[0], scale)
-    # Sublane (H) DMA offsets/extents must be 8-aligned in the 3D view:
-    # fetch from the aligned floor with 8 extra rows, roll the residual.
-    win_h = -(-(win_h_raw + 8) // 8) * 8
-    win_w_raw = _max_roi(box_size[1], scale)
+    win_h, win_w = roi_window_pad(box_size, scale, C)
+    lane_w = win_w * C
     roi_cases_h = _possible_rois(box_size[0], scale)
     roi_cases_w = _possible_rois(box_size[1], scale)
-
-    # Lane alignment: window lane offset is rs_w*C; aligning rs_w to
-    # `align` makes it a multiple of 128.
     align = 128 // math.gcd(C, 128)
-    win_w = -(-(win_w_raw + align) // align) * align
-    lane_w = win_w * C
-    assert lane_w % 128 == 0
 
-    padded = jnp.pad(feature, ((0, 0), (0, win_h), (0, win_w), (0, 0)),
-                     constant_values=jnp.asarray(_NEG, feature.dtype))
-    flat = padded.reshape(B, H + win_h, (W + win_w) * C)
+    if true_hw is not None:
+        assert feature.shape[2] == W + win_w, (feature.shape, W, win_w)
+        assert feature.shape[1] >= H + win_h, (feature.shape, H, win_h)
+        flat = feature.reshape(B, feature.shape[1], (W + win_w) * C)
+    else:
+        padded = jnp.pad(feature,
+                         ((0, 0), (0, win_h), (0, win_w), (0, 0)),
+                         constant_values=jnp.asarray(_NEG, feature.dtype))
+        flat = padded.reshape(B, H + win_h, (W + win_w) * C)
 
     b32 = boxes.astype(jnp.float32)
     r = lambda v: jnp.floor(v * scale + 0.5).astype(jnp.int32)
@@ -238,17 +254,21 @@ def roi_pool_pyramid_pallas(latent: jnp.ndarray,
                             skips: Sequence[jnp.ndarray],
                             boxes: jnp.ndarray,
                             patch_size: Tuple[int, int],
-                            interpret: bool = False
+                            interpret: bool = False,
+                            skip1_true_hw: Tuple[int, int] | None = None
                             ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
     """Batched multi-scale pooling (RCNet/networks.py:404-433): latent at
-    1/32 plus skips at strides 2..16."""
+    1/32 plus skips at strides 2..16.  `skip1_true_hw` marks skips[0] as
+    an already-_NEG-padded canvas (see roi_window_pad)."""
     ph, pw = patch_size
     pooled_skips = []
     for i, skip in enumerate(skips):
         s = 1.0 / (2 ** (i + 1))
         out = (int(ph * s), int(pw * s))
+        hw = skip1_true_hw if i == 0 else None
         pooled_skips.append(
-            roi_max_pool_pallas(skip, boxes, s, out, patch_size, interpret))
+            roi_max_pool_pallas(skip, boxes, s, out, patch_size, interpret,
+                                true_hw=hw))
     latent_out = (ph // 32, pw // 32)
     pooled_latent = roi_max_pool_pallas(latent, boxes, 1.0 / 32.0,
                                         latent_out, patch_size, interpret)

@@ -1,0 +1,209 @@
+"""Pallas TPU kernel: fused stride-2 stem conv + BN + leaky-relu.
+
+The RC-Net image encoder opens with a 7x7/s2 conv on 3 channels
+(RCNet/networks.py:82-97 via net_utils.Conv2d).  XLA's direct conv is
+MXU-hostile at C_in=3 (the contraction dim is 3) and its layout choices
+bracket the op with relayout copies: on the 640x512 bench the stem cluster
+(conv + copies) costs ~4.5 ms/call of 36 - the single largest line item
+(PERF.md).  This kernel computes the same stem as an im2col matmul,
+with the BatchNorm folded into the weights and the leaky-relu fused.
+
+Two layout tricks make the im2col free of strided access (PERF.md's key
+negative result: strided slices are dead on arrival on this chip):
+
+* **Row pairs**: row-major (rows, X) pairs up under reshape(rows/2, 2*X),
+  so a stride-2 7-tap row window reads 4 *consecutive* pair-rows; done on
+  the host side where the reshape is free.
+* **Tap-major columns**: the host pre-transposes each padded row from
+  (col, ch) to (s, col_pair) with s = (col_parity*Cin + ch): a stride-2
+  7-tap column window then reads 4 *consecutive* col-pair lanes per s.
+  In-kernel the im2col is then 4*2*4 static slices concatenated along
+  sublanes, and the conv is one (K=4*2*4*2*Cin) MXU contraction per row.
+
+The 7x7xCin kernel is scattered into the same (pair-row, row-parity,
+pair-col, col-parity, ch) slot order at trace time (structural zeros for
+the out-of-range taps).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _scatter_kernel_slots(kernel: jnp.ndarray, k: int, n_q: int,
+                          n_j: int, su: int) -> jnp.ndarray:
+    """(k, k, Cin, Cout) conv kernel -> (n_j, n_q*su, Cout) im2col slot
+    matrices, one per col-pair shift j.  Slot (q, u) with
+    u = e*(2*Cin) + w2*Cin + ch taps dy = 2q + e - 1, dx = 2j + w2;
+    out-of-range taps and the sublane padding u >= 4*Cin are zero."""
+    Cin, Cout = kernel.shape[2], kernel.shape[3]
+    w = jnp.zeros((n_j, n_q, su, Cout), kernel.dtype)
+    for q in range(n_q):
+        for e in range(2):
+            dy = 2 * q + e - 1
+            if not 0 <= dy < k:
+                continue
+            for j in range(n_j):
+                for w2 in range(2):
+                    dx = 2 * j + w2
+                    if not 0 <= dx < k:
+                        continue
+                    u = e * 2 * Cin + w2 * Cin
+                    w = w.at[j, q, u:u + Cin].set(kernel[dy, dx])
+    return w.reshape(n_j, n_q * su, Cout)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "negative_slope", "block_rows", "pad_to",
+                     "fill", "interpret"))
+def stem_conv_pallas(image: jnp.ndarray,
+                     kernel: jnp.ndarray,
+                     scale: jnp.ndarray,
+                     bias: jnp.ndarray,
+                     k: int = 7,
+                     negative_slope: float = 0.2,
+                     block_rows: int = 16,
+                     pad_to: Tuple[int, int] = (0, 0),
+                     fill: float = -1e30,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Fused stem: leaky_relu(conv_{k x k, s2, SAME}(x) * scale + bias).
+
+    Args:
+      image: (B, H, W, Cin) input (any float dtype; computed in bf16).
+      kernel: (k, k, Cin, Cout) conv kernel.
+      scale, bias: (Cout,) folded BatchNorm: scale = gamma/sqrt(var+eps),
+        bias = beta - mean*scale.  Pass ones/zeros for a bias-free conv.
+      k: kernel size with k % 4 == 3 (3, 7, 11...; the pair-row mapping
+        needs an odd SAME pad).
+      pad_to: minimum (rows, cols) of the output canvas.  Extra rows/cols
+        beyond the conv output are written as `fill` IN the kernel, so a
+        consumer that wants a fill-padded canvas (the RoI pooling kernel's
+        flat view) reads the output without any slice/pad/relayout pass -
+        slicing this buffer back to the conv extent cost ~1.4 ms/call on
+        the 640x512 bench (PERF.md).  Rows round up to a block multiple;
+        cols are exact.
+    Returns:
+      (B, max_rows, max(ceil(W/2), pad_cols), Cout) bf16; the conv result
+      lives in [:, :ceil(H/2), :ceil(W/2), :].
+    """
+    assert k % 2 == 1
+    B, H, W, Cin = image.shape
+    Cout = kernel.shape[-1]
+    Ho, Wo = -(-H // 2), -(-W // 2)
+    Wo2 = max(Wo, pad_to[1])
+    TR = block_rows
+    lead = (k - 1) // 2               # conv SAME padding
+    assert lead % 2 == 1, f"kernel size {k} not supported (need k%4==3)"
+    n_j = (k - 1) // 2 + 1            # pair-col groups per window
+    n_q = (k + 1) // 2                # pair-rows per window
+    S = 2 * Cin                       # tap-rows per (pair-col) lane
+    # Sublane rows per merged pair-row, padded to the bf16 tile (16) so
+    # the im2col concatenates full tile-aligned blocks (Mosaic cannot
+    # concatenate at unaligned sublane offsets).
+    SU = -(-2 * S // 16) * 16
+    KK = n_q * n_j * SU               # im2col contraction length
+
+    # ---- host-side layout prep (cheap XLA pad/reshape/transpose) ----
+    # Columns: `lead` zeros, data, zero tail to a pair count that is a
+    # multiple of 128 (lane tiling) and covers the last window.
+    n_pairs_w = -(-max(Wo2 + n_j - 1, (W + lead + 1) // 2) // 128) * 128
+    # Rows: stored = orig + lead + 1 puts output row r's taps at stored
+    # pairs r..r+n_q-1.
+    row_lead = lead + 1
+    n_blocks = -(-Ho // TR)                       # blocks that compute
+    n_blocks_out = -(-max(Ho, pad_to[0]) // TR)   # incl. pure-fill blocks
+    n_pairs_h = n_blocks * TR + n_q
+    rows_sto = 2 * n_pairs_h
+
+    x = image.astype(jnp.bfloat16)
+    x = jnp.pad(x, ((0, 0), (row_lead, rows_sto - row_lead - H),
+                    (lead, 2 * n_pairs_w - lead - W), (0, 0)))
+    # (B, rows, 2*n_pairs_w, Cin) -> (B, rows, n_pairs_w, S) -> transpose
+    # taps into sublanes -> merge row pairs -> pad taps to the sublane
+    # tile (all free except the minor transpose, which XLA runs at
+    # memory bandwidth).
+    x = x.reshape(B, rows_sto, n_pairs_w, S)
+    x = jnp.transpose(x, (0, 1, 3, 2))
+    x = x.reshape(B, n_pairs_h, 2 * S, n_pairs_w)
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, SU - 2 * S), (0, 0)))
+
+    w_slots = _scatter_kernel_slots(
+        kernel.astype(jnp.float32) * scale.astype(jnp.float32)[None, None,
+                                                               None, :],
+        k, n_q, n_j, SU).astype(jnp.bfloat16)
+    b_row = bias.astype(jnp.float32).reshape(1, Cout)
+
+    dma_pairs = TR + n_q
+
+    fill_f = float(fill)
+
+    def kern(x_ref, w_ref, b_ref, out_ref, buf, sem):
+        bb = pl.program_id(0)
+        r0 = pl.program_id(1) * TR
+
+        @pl.when(r0 >= Ho)
+        def _():
+            out_ref[0] = jnp.full((TR, Wo2, Cout), fill_f, out_ref.dtype)
+
+        @pl.when(r0 < Ho)
+        def _():
+            dma = pltpu.make_async_copy(
+                x_ref.at[bb, pl.ds(r0, dma_pairs), :, :],
+                buf, sem)
+            dma.start()
+            dma.wait()
+
+            # im2col rows: output row r0+t taps stored pair-rows
+            # t..t+n_q-1 (offset-0 sublane concat of full SU blocks); the
+            # n_j col-pair shifts become lane-sliced matmul operands
+            # accumulated below, so no concatenation ever mixes offsets.
+            t = jnp.concatenate([buf[q:q + TR] for q in range(n_q)],
+                                axis=1)         # (TR, n_q*SU, n_pairs_w)
+
+            b = b_ref[...]
+            col_ok = (jax.lax.broadcasted_iota(jnp.int32, (Wo2, 1), 0)
+                      < Wo)
+            for tt in range(TR):
+                acc = jnp.zeros((Wo2, Cout), jnp.float32)
+                for j in range(n_j):
+                    acc = acc + jax.lax.dot_general(
+                        t[tt, :, j:j + Wo2], w_ref[j],
+                        (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # (Wo2, Cout)
+                acc = acc + b
+                acc = jnp.maximum(acc, negative_slope * acc)
+                val = jnp.where(col_ok & (r0 + tt < Ho),
+                                acc.astype(out_ref.dtype),
+                                jnp.asarray(fill_f, out_ref.dtype))
+                out_ref[0, tt] = val
+
+    out = pl.pallas_call(
+        kern,
+        grid=(B, n_blocks_out),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((n_j, n_q * SU, Cout), lambda b, r: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Cout), lambda b, r: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TR, Wo2, Cout),
+                               lambda b, r: (b, r, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, n_blocks_out * TR, Wo2, Cout),
+                                       jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((dma_pairs, SU, n_pairs_w), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(x, w_slots, b_row)
+
+    return out

@@ -234,19 +234,28 @@ def roi_pool_pyramid_batched(latent: jnp.ndarray,
                              skips: Sequence[jnp.ndarray],
                              boxes: jnp.ndarray,
                              patch_size: Tuple[int, int],
-                             use_pallas: bool | None = None
+                             use_pallas: bool | None = None,
+                             skip1_true_hw: Tuple[int, int] | None = None
                              ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
     """Batched multi-scale RoI pooling over (B, K) boxes.
 
     On TPU this dispatches to the Pallas double-buffered window-DMA kernel
     (ops/pallas/roi_pool.py, ~8x the vmapped dynamic-slice formulation);
     elsewhere it vmaps the XLA version.  Results are identical.
+
+    `skip1_true_hw=(H, W)` marks skips[0] as a pre-padded _NEG canvas from
+    the fused stem kernel (ops/pallas/stem.py pad_to): the Pallas path
+    consumes it via a free reshape; the XLA path slices it back.
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
     if use_pallas:
         from riders_tpu.ops.pallas.roi_pool import roi_pool_pyramid_pallas
-        return roi_pool_pyramid_pallas(latent, skips, boxes, patch_size)
+        return roi_pool_pyramid_pallas(latent, skips, boxes, patch_size,
+                                       skip1_true_hw=skip1_true_hw)
+    if skip1_true_hw is not None:
+        h1, w1 = skip1_true_hw
+        skips = [skips[0][:, :h1, :w1]] + list(skips[1:])
     return jax.vmap(
         lambda lat, sks, bxs: roi_pool_pyramid(lat, sks, bxs, patch_size))(
             latent, skips, boxes)

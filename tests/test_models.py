@@ -76,6 +76,24 @@ def test_sml_forward_shapes_and_clamps(rng):
     assert np.asarray(scales).min() >= 0.0
 
 
+def test_output_conv_fast_upsample_matches_naive(rng):
+    """The phase-composed output head (OutputConv.fast_upsample) must match
+    the literal resize->conv->relu->conv formulation, including the
+    clamped-upsample/zero-pad borders, at f32 precision."""
+    from riders_tpu.models.sml import OutputConv
+
+    for (n, m) in ((72, 88), (15, 21)):
+        x = jnp.asarray(rng.standard_normal((2, n, m, 64)).astype(np.float32))
+        naive = OutputConv(features=64, fast_upsample=False)
+        fast = OutputConv(features=64, fast_upsample=True)
+        variables = naive.init(jax.random.PRNGKey(0), x)
+        ref = naive.apply(variables, x)
+        out = fast.apply(variables, x)
+        assert out.shape == ref.shape == (2, 2 * n, 2 * m, 1)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_sml_param_structure():
     cfg = SMLConfig(net_shape=(96, 128))
     model = ScaleMapLearner(config=cfg)

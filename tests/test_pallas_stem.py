@@ -1,0 +1,64 @@
+"""Interpret-mode parity tests for the fused Pallas stem kernel
+(ops/pallas/stem.py) against the XLA conv+BN+leaky_relu path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from riders_tpu.ops.pallas.stem import stem_conv_pallas
+
+
+def _xla_reference(image, kernel, scale, bias, k, slope=0.2):
+    x = image.astype(jnp.bfloat16)
+    pad = k // 2
+    # the kernel folds the BN scale into the bf16 weights; fold here too so
+    # the comparison isolates the im2col math from that rounding choice
+    folded = (kernel * scale[None, None, None, :]).astype(jnp.bfloat16)
+    y = jax.lax.conv_general_dilated(
+        x, folded, (2, 2), [(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    y = y + bias[None, None, None, :]
+    return jnp.maximum(y, slope * y).astype(jnp.bfloat16)
+
+
+@pytest.mark.parametrize("k,H,W,Cout,TR", [
+    (7, 96, 128, 32, 8),     # RC-Net stem geometry (scaled down)
+    (7, 90, 122, 32, 16),    # odd output extents + ragged tail block
+    (3, 64, 96, 16, 8),      # 3x3 stem (efficientnet-style)
+])
+def test_stem_kernel_matches_xla(rng, k, H, W, Cout, TR):
+    B, Cin = 2, 3
+    image = rng.standard_normal((B, H, W, Cin)).astype(np.float32)
+    kernel = (rng.standard_normal((k, k, Cin, Cout)) * 0.2
+              ).astype(np.float32)
+    scale = (0.5 + rng.random(Cout)).astype(np.float32)
+    bias = (rng.standard_normal(Cout) * 0.1).astype(np.float32)
+
+    y_ref = _xla_reference(jnp.asarray(image), jnp.asarray(kernel),
+                           jnp.asarray(scale), jnp.asarray(bias), k)
+    Ho, Wo = y_ref.shape[1:3]
+    y = stem_conv_pallas(
+        jnp.asarray(image), jnp.asarray(kernel), jnp.asarray(scale),
+        jnp.asarray(bias), k=k, block_rows=TR, interpret=True)
+
+    assert y.shape[1] % TR == 0 and y.shape[1] >= Ho
+    assert y.shape[2] == Wo and y.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(y[:, :Ho], np.float32), np.asarray(y_ref, np.float32),
+        rtol=0.02, atol=0.02)
+
+    # padded-canvas mode: fill everywhere beyond (Ho, Wo), same values in
+    # the valid region (the RoI kernel's _NEG convention)
+    yp = stem_conv_pallas(
+        jnp.asarray(image), jnp.asarray(kernel), jnp.asarray(scale),
+        jnp.asarray(bias), k=k, block_rows=TR,
+        pad_to=(Ho + 24, Wo + 16), interpret=True)
+    assert yp.shape[1] >= Ho + 24 and yp.shape[2] == Wo + 16
+    np.testing.assert_array_equal(np.asarray(yp[:, :Ho, :Wo]),
+                                  np.asarray(y[:, :Ho]))
+    tail = np.asarray(yp[:, Ho:], np.float32)
+    side = np.asarray(yp[:, :, Wo:], np.float32)
+    assert (tail <= -1e29).all() and (side <= -1e29).all()
