@@ -103,6 +103,11 @@ def main(argv=None) -> int:
     p.add_argument("--output", default=None)
     p.add_argument("--save-output", action="store_true")
     p.add_argument("--rcnet-interp", default=None)
+    p.add_argument("--depth-predictor", default=None,
+                   help="apply the per-mono-model test-time transform "
+                   "tables (e.g. midas_small, dpt_beit_large_512)")
+    p.add_argument("--void-sparsity", type=int, default=150,
+                   help="VOID statistics row for --depth-predictor")
 
     p = sub.add_parser("val-rcnet", help="validate RC-Net checkpoints")
     common(p)
@@ -148,6 +153,13 @@ def main(argv=None) -> int:
         run_rcnet(cfg, args.ckpt, args.output, log_path=args.log)
     elif args.command == "val-sml":
         from riders_tpu.pipelines.drivers import validate_sml
+        if args.depth_predictor:
+            from riders_tpu.core.normalization import (apply_to_config,
+                                                       test_time_transforms)
+            spec = test_time_transforms(args.depth_predictor, "void",
+                                        args.void_sparsity,
+                                        cfg.dataset.image_shape)
+            cfg = apply_to_config(cfg, spec)
         validate_sml(cfg, args.ckpt, output_path=args.output,
                      save_output=args.save_output, log_path=args.log)
     elif args.command == "val-rcnet":

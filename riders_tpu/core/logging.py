@@ -82,6 +82,26 @@ class ScalarWriter:
                 if k != "step":
                     self._tb.add_scalar(k, v, step)
 
+    def write_histograms(self, step: int,
+                         arrays: Dict[str, Any]) -> None:
+        """Distribution summaries - the reference's TB histogram channel
+        (log_utils.log_summary:102-287, rcnet_model.log_summary:267-476).
+        Full histograms go to TensorBoard when available; the JSONL
+        stream records quantile digests either way."""
+        rec: Dict[str, Any] = {"step": int(step)}
+        for k, v in arrays.items():
+            a = np.asarray(v, np.float32).reshape(-1)
+            if a.size == 0:
+                continue
+            q = np.quantile(a, [0.0, 0.25, 0.5, 0.75, 1.0])
+            rec[k] = {"min": float(q[0]), "p25": float(q[1]),
+                      "median": float(q[2]), "p75": float(q[3]),
+                      "max": float(q[4]), "mean": float(a.mean())}
+            if self._tb is not None:
+                self._tb.add_histogram(k, a, step)
+        self._file.write(json.dumps({"histograms": rec}) + "\n")
+        self._file.flush()
+
     def close(self) -> None:
         self._file.close()
         if self._tb is not None:

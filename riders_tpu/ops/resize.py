@@ -40,7 +40,9 @@ def compute_net_shape(image_shape: Tuple[int, int],
 
     'minimal' picks the axis whose scale is closest to 1 (the SML
     convention, get_transforms:318-326); 'lower_bound' guarantees >= target
-    on both axes.  E.g. 480x640 -> (288, 384); 512x640 -> (288, 352).
+    on both axes; 'upper_bound' guarantees <= target (the test-time
+    transform tables' midas_small convention, transforms_test.py:270-277).
+    E.g. 480x640 -> (288, 384); 512x640 -> (288, 352).
     """
     h, w = image_shape
     scale_h = target / h
@@ -50,17 +52,23 @@ def compute_net_shape(image_shape: Tuple[int, int],
         sh = sw = scale
     elif method == "lower_bound":
         sh = sw = max(scale_h, scale_w)
+    elif method == "upper_bound":
+        sh = sw = min(scale_h, scale_w)
     else:
         raise ValueError(method)
 
-    def constrain(x, min_val=None):
+    def constrain(x, min_val=None, max_val=None):
         y = int(np.round(x / multiple_of) * multiple_of)
+        if max_val is not None and y > max_val:
+            y = int(np.floor(x / multiple_of) * multiple_of)
         if min_val is not None and y < min_val:
             y = int(np.ceil(x / multiple_of) * multiple_of)
         return y
 
     min_val = target if method == "lower_bound" else None
-    return (constrain(sh * h, min_val), constrain(sw * w, min_val))
+    max_val = target if method == "upper_bound" else None
+    return (constrain(sh * h, min_val, max_val),
+            constrain(sw * w, min_val, max_val))
 
 
 @functools.lru_cache(maxsize=None)

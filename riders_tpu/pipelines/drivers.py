@@ -154,7 +154,8 @@ def train_rcnet(cfg: RidersConfig, checkpoint_dir: str,
                     log_path)
                 ckpt_lib.save_train_state(checkpoint_dir, state)
                 # Visual summary: patch | GT label | response | validity
-                # (the reference's TB mosaics, rcnet_model.py:267-476).
+                # (the reference's TB mosaics, rcnet_model.py:267-476),
+                # plus response/label distribution histograms.
                 panels = jax.device_get(summary_fn(state, batch))
                 log_lib.save_image_mosaic(
                     os.path.join(checkpoint_dir, "summaries",
@@ -162,6 +163,9 @@ def train_rcnet(cfg: RidersConfig, checkpoint_dir: str,
                     [panels["image_patch"], panels["label"],
                      panels["response"], panels["validity"]],
                     max_depth=1.0)
+                writer.write_histograms(step, {
+                    "response": panels["response"],
+                    "label": panels["label"]})
             if max_steps is not None and step >= max_steps:
                 ckpt_lib.save_train_state(checkpoint_dir, state)
                 writer.close()

@@ -214,8 +214,12 @@ def test_rcnet_training_and_generation(mini_root, tmp_path):
                                        "step2.png"))
     import json
     with open(os.path.join(ckpt_dir, "scalars-train.jsonl")) as f:
-        last = json.loads(f.readlines()[-1])
-    assert "precision" in last and "recall" in last
+        lines = [json.loads(l) for l in f.readlines()]
+    scalars = [l for l in lines if "histograms" not in l]
+    hists = [l["histograms"] for l in lines if "histograms" in l]
+    assert "precision" in scalars[-1] and "recall" in scalars[-1]
+    assert hists and "response" in hists[-1]
+    assert 0.0 <= hists[-1]["response"]["median"] <= 1.0
 
     out_root = str(tmp_path / "rcnet_out")
     run_rcnet(cfg, ckpt_dir, out_root, scenes=("scene-b",),

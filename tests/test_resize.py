@@ -87,3 +87,53 @@ def test_batched_leading_dims(rng):
                    align_corners=True)
     np.testing.assert_allclose(np.asarray(out[0, 0]), np.asarray(one),
                                atol=1e-6)
+
+
+def test_compute_net_shape_methods():
+    """Aspect-keeping multiple-of-32 resize policies (transforms.py:70-125
+    via compute_net_shape): minimal / lower_bound / upper_bound."""
+    from riders_tpu.ops.resize import compute_net_shape
+
+    assert compute_net_shape((480, 640), 288, method="minimal") == (288, 384)
+    assert compute_net_shape((512, 640), 288, method="minimal") == (288, 352)
+    lb = compute_net_shape((512, 640), 288, method="lower_bound")
+    assert lb[0] >= 288 and lb[1] >= 288
+    ub = compute_net_shape((512, 640), 384, method="upper_bound")
+    assert ub[0] <= 384 and ub[1] <= 384
+    # reference arithmetic: scale = min(384/512, 384/640) = 0.6 ->
+    # (307.2, 384) -> round-to-32 = (320, 384); 320 <= 384 so it stands
+    assert ub == (320, 384)
+
+
+def test_test_time_transform_tables():
+    """Per-mono-model test-time tables (transforms_test.py:240-325 +
+    normalization.py VOID_INTERMEDIATE)."""
+    from riders_tpu.core.normalization import (VOID_INTERMEDIATE,
+                                               apply_to_config,
+                                               test_time_transforms)
+
+    assert set(VOID_INTERMEDIATE) == {
+        "dpt_beit_large_512", "dpt_swin2_large_384", "dpt_large",
+        "dpt_hybrid", "dpt_swin2_tiny_256", "dpt_levit_224", "midas_small"}
+    row = VOID_INTERMEDIATE["midas_small"]["void_1500"]
+    assert row["mean"]["int_depth"] == 0.728
+    assert row["std"]["int_scales"] == 0.140
+
+    spec = test_time_transforms("midas_small", "void", 150, (480, 640))
+    assert spec.depth_model_image_mean == (0.485, 0.456, 0.406)
+    assert spec.int_depth_mean == 0.723
+    assert spec.sml_net_shape[0] <= 384 and spec.sml_net_shape[1] <= 384
+
+    # fixed-square predictors ignore aspect
+    spec2 = test_time_transforms("dpt_levit_224", "void", 500, (480, 640))
+    assert spec2.depth_model_net_shape == (224, 224)
+    assert spec2.int_scales_mean == 0.410
+
+    from riders_tpu.core.config import zju_config
+    cfg = apply_to_config(zju_config(), spec)
+    assert cfg.sml.net_shape == spec.sml_net_shape
+    assert cfg.sml.int_depth_mean == 0.723
+
+    import pytest
+    with pytest.raises(KeyError):
+        test_time_transforms("nonexistent", "void", 150, (480, 640))
