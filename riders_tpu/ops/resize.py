@@ -79,6 +79,15 @@ def resize_nearest_indices(in_size: int, out_size: int) -> Tuple[int, ...]:
     return tuple(idx.astype(np.int64).tolist())
 
 
+@functools.lru_cache(maxsize=None)
+def _nearest_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """One-hot (out x in) selection matrix for nearest resampling."""
+    idx = np.asarray(resize_nearest_indices(in_size, out_size))
+    W = np.zeros((out_size, in_size), np.float32)
+    W[np.arange(out_size), idx] = 1.0
+    return W
+
+
 def _source_coords(in_size: int, out_size: int, align_corners: bool,
                    cubic: bool) -> np.ndarray:
     # torch computes source coordinates in the tensor's scalar type (fp32
@@ -159,10 +168,34 @@ def resize2d(x: jnp.ndarray,
         return x
 
     if method == "nearest":
-        if h != h2:
-            x = jnp.take(x, jnp.asarray(resize_nearest_indices(h, h2)), axis=-3)
-        if w != w2:
-            x = jnp.take(x, jnp.asarray(resize_nearest_indices(w, w2)), axis=-2)
+        # Gathers (and strided slices) lower to slow dynamic-slice loops
+        # on TPU (PERF.md).  Integer upscale factors reduce to element
+        # repetition (floor(i*in/out) = floor(i/f)) via broadcast+reshape;
+        # every other case routes through an exact one-hot matmul like the
+        # bilinear path (a single 1.0 tap per output row, so values pass
+        # through bit-exactly).
+        if h != h2 and h2 % h == 0:
+            f = h2 // h
+            shape = x.shape[:-3] + (h, f) + x.shape[-2:]
+            x = jnp.broadcast_to(x[..., :, None, :, :], shape)
+            x = x.reshape(x.shape[:-4] + (h2,) + x.shape[-2:])
+        elif h != h2:
+            orig = x.dtype
+            Wh = jnp.asarray(_nearest_matrix(h, h2))
+            x = jnp.einsum("oh,...hwc->...owc", Wh,
+                           x.astype(jnp.float32),
+                           precision="highest").astype(orig)
+        if w != w2 and w2 % w == 0:
+            f = w2 // w
+            x = jnp.broadcast_to(x[..., :, None, :],
+                                 x.shape[:-1] + (f, x.shape[-1]))
+            x = x.reshape(x.shape[:-3] + (w2, x.shape[-1]))
+        elif w != w2:
+            orig = x.dtype
+            Ww = jnp.asarray(_nearest_matrix(w, w2))
+            x = jnp.einsum("pw,...hwc->...hpc", Ww,
+                           x.astype(jnp.float32),
+                           precision="highest").astype(orig)
         return x
 
     if method == "bilinear":
