@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Any, Callable, Optional, Tuple
 
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from riders_tpu.ops.resize import resize2d
@@ -188,22 +189,79 @@ class TransposeConvBlock(nn.Module):
         return x
 
 
+# Nearest x2 taps composed through a 3-tap conv: phase p of the output
+# reads 2 input rows; expressed as 3x3 kernels with a structural zero row
+# so all four phases run as ONE conv.  A[p][j, d] maps conv tap d to
+# low-res offset j (up[2i+p+d] = x[i + ...]).
+_M_NEAREST2 = (
+    np.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 1.0], [0.0, 0.0, 0.0]],
+               np.float32),
+    np.asarray([[0.0, 0.0, 0.0], [1.0, 1.0, 0.0], [0.0, 0.0, 1.0]],
+               np.float32),
+)
+
+
 class UpConvBlock(nn.Module):
-    """Nearest-upsample to `shape` then conv (net_utils.py:156-198)."""
+    """Nearest-upsample to `shape` then conv (net_utils.py:156-198).
+
+    For the exact-x2 case on bf16 TPU inference, the upsample composes
+    into the conv (four phase kernels in one conv + depth-to-space):
+    nearest repetition makes the composition exact with no border
+    corrections, and it removes the HBM broadcast of the upsampled map
+    plus 4x of the conv's input traffic (the decoder's x2 stages cost
+    ~2 ms/call of the 640x512 bench this way, PERF.md)."""
 
     features: int
     kernel_size: int = 3
     activation: Optional[Callable] = None
     use_batch_norm: bool = False
     dtype: Dtype = jnp.float32
+    fast_2x: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, shape: Tuple[int, int],
                  train: bool = False) -> jnp.ndarray:
-        x = resize2d(x, shape, method="nearest")
-        return ConvBlock(
+        import jax
+
+        block = ConvBlock(
             self.features, self.kernel_size, 1, self.activation,
-            self.use_batch_norm, dtype=self.dtype, name="conv")(x, train)
+            self.use_batch_norm, dtype=self.dtype, name="conv")
+
+        h, w = x.shape[-3], x.shape[-2]
+        fast = self.fast_2x
+        if fast is None:
+            fast = (self.dtype == jnp.bfloat16
+                    and jax.default_backend() not in ("cpu",))
+        fast = (fast and tuple(shape) == (2 * h, 2 * w)
+                and self.kernel_size == 3 and not train
+                and not self.is_initializing())
+        if not fast:
+            x = resize2d(x, shape, method="nearest")
+            return block(x, train)
+
+        params = self.variables["params"]["conv"]
+        k = params["conv"]["kernel"].astype(jnp.float32)   # (3, 3, C, F)
+        keff = jnp.concatenate(
+            [jnp.einsum("ja,abio,lb->jlio", jnp.asarray(_M_NEAREST2[py]),
+                        k, jnp.asarray(_M_NEAREST2[px]))
+             for py in range(2) for px in range(2)], axis=-1)
+        z = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), keff.astype(self.dtype), (1, 1),
+            [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)            # (..., h, w, 4F)
+        if self.use_batch_norm:
+            stats = self.variables["batch_stats"]["conv"]["bn"]
+            g = (params["bn"]["scale"]
+                 / jnp.sqrt(stats["var"] + 1e-5)).astype(jnp.float32)
+            b = params["bn"]["bias"] - stats["mean"] * g
+            z = z * jnp.tile(g, 4) + jnp.tile(b, 4)
+        z = z.astype(self.dtype)
+        if self.activation is not None:
+            z = self.activation(z)
+        F = self.features
+        z = z.reshape(z.shape[:-1] + (2, 2, F))
+        z = jnp.moveaxis(z, (-3, -2), (-4, -2))            # (.., h, 2, w, 2, F)
+        return z.reshape(z.shape[:-5] + (2 * h, 2 * w, F))
 
 
 class FullyConnected(nn.Module):

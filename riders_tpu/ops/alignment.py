@@ -80,22 +80,21 @@ def optimize_scale(prediction: jnp.ndarray,
     few hundred returns on a ~300k-pixel frame, so the valid pixels are
     gathered into a `gather_bucket` vector once and the 2*iterations
     objective evaluations run on that instead of the full map (the dense
-    sums were ~0.7 ms/call of the 640x512 bench, PERF.md).  Frames with
-    more than `gather_bucket` valid pixels fall back to the dense sums at
-    runtime (lax.cond) - identical result, original cost.
+    sums were ~0.7 ms/call of the 640x512 bench, PERF.md; a lax.cond
+    fallback is useless here - under the pipelines' vmap it becomes a
+    select that runs both branches).  The bucket is sized an order of
+    magnitude above any radar return count; a frame with more than
+    `gather_bucket` valid pixels would silently optimize over the first
+    `gather_bucket` of them (lowest flat indices), so callers with dense
+    masks should pass gather_bucket=0 to force the dense objective.
     """
     p = prediction.astype(jnp.float32).reshape(-1)
     t = target.astype(jnp.float32).reshape(-1)
     m = mask.astype(jnp.float32).reshape(-1)
 
-    if p.size > 2 * gather_bucket:
-        cnt = jnp.sum(m)
+    if gather_bucket and p.size > 2 * gather_bucket:
         _, idx = jax.lax.top_k(m, gather_bucket)
-        pg, tg, mg = p[idx], t[idx], m[idx]
-        return jax.lax.cond(
-            cnt <= gather_bucket,
-            lambda: _golden_section(pg, tg, mg, bounds, iterations),
-            lambda: _golden_section(p, t, m, bounds, iterations))
+        p, t, m = p[idx], t[idx], m[idx]
     return _golden_section(p, t, m, bounds, iterations)
 
 

@@ -94,6 +94,36 @@ def test_output_conv_fast_upsample_matches_naive(rng):
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_upconv_fast_2x_matches_naive(rng):
+    """The phase-composed nearest-x2 upsample+conv (UpConvBlock.fast_2x)
+    must match the literal resize->conv formulation exactly, including
+    borders, BN and activation."""
+    from riders_tpu.models.layers import UpConvBlock, activation_fn
+
+    act = activation_fn("leaky_relu")
+    x = jnp.asarray(rng.standard_normal((2, 9, 7, 12)).astype(np.float32))
+    naive = UpConvBlock(16, 3, act, True, fast_2x=False)
+    fast = UpConvBlock(16, 3, act, True, fast_2x=True)
+    variables = naive.init(jax.random.PRNGKey(0), x, (18, 14))
+    # non-trivial BN stats
+    stats = jax.tree_util.tree_map(lambda a: a, variables["batch_stats"])
+    stats["conv"]["bn"]["mean"] = jnp.asarray(
+        rng.standard_normal(16).astype(np.float32) * 0.1)
+    stats["conv"]["bn"]["var"] = jnp.asarray(
+        (0.5 + rng.random(16)).astype(np.float32))
+    variables = {"params": variables["params"], "batch_stats": stats}
+
+    ref = naive.apply(variables, x, (18, 14))
+    out = fast.apply(variables, x, (18, 14))
+    assert out.shape == ref.shape == (2, 18, 14, 16)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+    # non-x2 targets fall back to the naive path
+    odd = fast.apply(variables, x, (19, 15))
+    assert odd.shape == (2, 19, 15, 16)
+
+
 def test_sml_param_structure():
     cfg = SMLConfig(net_shape=(96, 128))
     model = ScaleMapLearner(config=cfg)
