@@ -141,6 +141,12 @@ class EfficientNetLite3(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False
                  ) -> List[jnp.ndarray]:
+        # NOTE: the fused Pallas stem (ops/pallas/stem.py, which supports
+        # this stem's TF-SAME/relu6 configuration via lead=0 + clip_max)
+        # was tried here and REGRESSED the fused bench 525 -> 409 fps: at
+        # the SML's (288, 352) extent the kernel's host-side tap
+        # transpose and per-block overheads outweigh the conv win
+        # (PERF.md).  The literal XLA formulation stays.
         h = nn.Conv(self.stem_features, (3, 3), strides=(2, 2),
                     padding="SAME",
                     use_bias=False, dtype=self.dtype, name="conv_stem")(x)

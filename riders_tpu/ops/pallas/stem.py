@@ -62,19 +62,27 @@ def _scatter_kernel_slots(kernel: jnp.ndarray, k: int, n_q: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "negative_slope", "block_rows", "pad_to",
-                     "fill", "interpret"))
+    static_argnames=("k", "negative_slope", "clip_max", "block_rows",
+                     "pad_to", "fill", "lead", "interpret"))
 def stem_conv_pallas(image: jnp.ndarray,
                      kernel: jnp.ndarray,
                      scale: jnp.ndarray,
                      bias: jnp.ndarray,
                      k: int = 7,
                      negative_slope: float = 0.2,
+                     clip_max: float | None = None,
                      block_rows: int = 16,
                      pad_to: Tuple[int, int] = (0, 0),
                      fill: float = -1e30,
+                     lead: int | None = None,
                      interpret: bool = False) -> jnp.ndarray:
-    """Fused stem: leaky_relu(conv_{k x k, s2, SAME}(x) * scale + bias).
+    """Fused stem: leaky_relu(conv_{k x k, s2}(x) * scale + bias),
+    optionally clipped at `clip_max` (relu6 = slope 0 + clip 6).
+
+    `lead` is the number of padded rows/cols BEFORE the first input pixel
+    (the conv's top/left padding): (k-1)//2 for symmetric torch-style
+    SAME (the default), 0 for TF-style 'SAME' on even extents (the
+    asymmetric pad the efficientnet stem uses).
 
     Args:
       image: (B, H, W, Cin) input (any float dtype; computed in bf16).
@@ -100,9 +108,11 @@ def stem_conv_pallas(image: jnp.ndarray,
     Ho, Wo = -(-H // 2), -(-W // 2)
     Wo2 = max(Wo, pad_to[1])
     TR = block_rows
-    lead = (k - 1) // 2               # conv SAME padding
-    assert lead % 2 == 1, f"kernel size {k} not supported (need k%4==3)"
-    n_j = (k - 1) // 2 + 1            # pair-col groups per window
+    if lead is None:
+        lead = (k - 1) // 2           # symmetric SAME padding
+    # window tap dx spans [0, k) from padded col 2c, so the group count
+    # covers padded cols up to 2c + k - 1
+    n_j = (k + 1) // 2                # pair-col groups per window
     n_q = (k + 1) // 2                # pair-rows per window
     S = 2 * Cin                       # tap-rows per (pair-col) lane
     # Sublane rows per merged pair-row, padded to the bf16 tile (16) so
@@ -180,6 +190,8 @@ def stem_conv_pallas(image: jnp.ndarray,
                         preferred_element_type=jnp.float32)  # (Wo2, Cout)
                 acc = acc + b
                 acc = jnp.maximum(acc, negative_slope * acc)
+                if clip_max is not None:
+                    acc = jnp.minimum(acc, clip_max)
                 val = jnp.where(col_ok & (r0 + tt < Ho),
                                 acc.astype(out_ref.dtype),
                                 jnp.asarray(fill_f, out_ref.dtype))

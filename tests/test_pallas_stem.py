@@ -62,3 +62,31 @@ def test_stem_kernel_matches_xla(rng, k, H, W, Cout, TR):
     tail = np.asarray(yp[:, Ho:], np.float32)
     side = np.asarray(yp[:, :, Wo:], np.float32)
     assert (tail <= -1e29).all() and (side <= -1e29).all()
+
+
+def test_stem_kernel_tf_same_relu6(rng):
+    """lead=0 (TF 'SAME' on even extents) + relu6 (slope 0, clip 6) - the
+    efficientnet stem configuration."""
+    B, H, W, Cin, Cout, k = 2, 64, 96, 3, 16, 3
+    image = rng.standard_normal((B, H, W, Cin)).astype(np.float32)
+    kernel = (rng.standard_normal((k, k, Cin, Cout)) * 0.5
+              ).astype(np.float32)
+    scale = (0.5 + rng.random(Cout)).astype(np.float32)
+    bias = (rng.standard_normal(Cout) * 2.0).astype(np.float32)
+
+    x = jnp.asarray(image).astype(jnp.bfloat16)
+    folded = (jnp.asarray(kernel)
+              * jnp.asarray(scale)[None, None, None, :]).astype(jnp.bfloat16)
+    y_ref = jax.lax.conv_general_dilated(
+        x, folded, (2, 2), [(0, 1), (0, 1)],          # TF SAME, even dims
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32) + jnp.asarray(bias)
+    y_ref = jnp.minimum(jnp.maximum(y_ref, 0.0), 6.0)
+
+    y = stem_conv_pallas(
+        jnp.asarray(image), jnp.asarray(kernel), jnp.asarray(scale),
+        jnp.asarray(bias), k=3, negative_slope=0.0, clip_max=6.0,
+        lead=0, block_rows=8, interpret=True)[:, :H // 2]
+    np.testing.assert_allclose(
+        np.asarray(y, np.float32), np.asarray(y_ref, np.float32),
+        rtol=0.02, atol=0.02)
