@@ -85,8 +85,12 @@ def build(preset: str = "ntu"):
 
 
 def device_time_per_call(fused, rc_vars, sml_vars, batch,
-                         n_small=2, n_big=12):
-    """Per-iteration device seconds via chained on-device loop."""
+                         n_small=2, n_big=22, repeats=3):
+    """Per-iteration device seconds via chained on-device loop.
+
+    The big/small subtraction removes dispatch+fetch overhead; the
+    median over `repeats` measurement pairs absorbs machine-level
+    variance (single samples were observed +-4% on this tunnel)."""
 
     @jax.jit
     def chain(rc_vars, sml_vars, batch, n):
@@ -97,14 +101,22 @@ def device_time_per_call(fused, rc_vars, sml_vars, batch,
             return img
         return jax.lax.fori_loop(0, n, body, batch["image"])
 
-    _ = np.asarray(chain(rc_vars, sml_vars, batch, n_small).reshape(-1)[0])
-    t0 = time.perf_counter()
-    _ = np.asarray(chain(rc_vars, sml_vars, batch, n_big).reshape(-1)[0])
-    t1 = time.perf_counter()
-    t2 = time.perf_counter()
-    _ = np.asarray(chain(rc_vars, sml_vars, batch, n_small).reshape(-1)[0])
-    t3 = time.perf_counter()
-    return ((t1 - t0) - (t3 - t2)) / (n_big - n_small)
+    def run(n):
+        return np.asarray(
+            chain(rc_vars, sml_vars, batch, n).reshape(-1)[0])
+
+    run(n_small)  # compile both shapes... (n is dynamic; warm the cache)
+    run(n_big)
+    samples = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        run(n_big)
+        t1 = time.perf_counter()
+        t2 = time.perf_counter()
+        run(n_small)
+        t3 = time.perf_counter()
+        samples.append(((t1 - t0) - (t3 - t2)) / (n_big - n_small))
+    return float(np.median(samples))
 
 
 def main():

@@ -55,6 +55,33 @@ def _rcnet_dir(rcnet_interp: Optional[str]) -> Optional[str]:
             if rcnet_interp and "rcnet" in rcnet_interp else None)
 
 
+def _maybe_shard_training(cfg: RidersConfig, step_fn, batch_size: int):
+    """Data-parallel training over the configured mesh when more than one
+    device is visible (the DataParallel replacement, SURVEY.md 5.8):
+    returns (wrapped step_fn, batch sharding or None).  Single-device
+    setups get the step back unchanged."""
+    import dataclasses as _dc
+
+    from riders_tpu.parallel import sharding as sh
+
+    n_dev = len(jax.devices())
+    n_data = cfg.mesh.data_parallel
+    if n_data == -1:
+        # auto: largest device count the batch splits evenly over
+        n_data = n_dev // max(cfg.mesh.points_parallel, 1)
+        while n_data > 1 and batch_size % n_data != 0:
+            n_data -= 1
+    elif batch_size % n_data != 0:
+        raise ValueError(
+            f"batch size {batch_size} not divisible by the configured "
+            f"mesh data_parallel={n_data}")
+    if n_dev < 2 or n_data < 2:
+        return step_fn, None
+    mesh = sh.mesh_from_config(
+        _dc.replace(cfg.mesh, data_parallel=n_data))
+    return sh.with_data_sharding(mesh, step_fn), sh.batch_sharding(mesh)
+
+
 def train_sml(cfg: RidersConfig, checkpoint_dir: str,
               resume: bool = False, log_path: Optional[str] = None,
               max_steps: Optional[int] = None) -> None:
@@ -79,6 +106,9 @@ def train_sml(cfg: RidersConfig, checkpoint_dir: str,
         state = ckpt_lib.restore_train_state(checkpoint_dir, state)
         log_lib.log(f"Resumed from step {int(state.step)}", log_path)
     step_fn = sml_training.make_train_step(cfg, model, tx)
+    step_fn, batch_sharding = _maybe_shard_training(cfg, step_fn,
+                                                    t.batch_size)
+    loader.sharding = batch_sharding
 
     writer = log_lib.ScalarWriter(checkpoint_dir, "train")
     timer = log_lib.StepTimer(total_steps)
@@ -130,6 +160,9 @@ def train_rcnet(cfg: RidersConfig, checkpoint_dir: str,
         state = ckpt_lib.restore_train_state(checkpoint_dir, state)
         log_lib.log(f"Resumed from step {int(state.step)}", log_path)
     step_fn = rcnet_training.make_rcnet_train_step(cfg, model, tx)
+    step_fn, batch_sharding = _maybe_shard_training(cfg, step_fn,
+                                                    t.batch_size)
+    loader.sharding = batch_sharding
     summary_fn = rcnet_training.make_rcnet_summary_fn(cfg, model)
 
     writer = log_lib.ScalarWriter(checkpoint_dir, "train")
