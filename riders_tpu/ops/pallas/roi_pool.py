@@ -139,9 +139,10 @@ def roi_max_pool_pallas(feature: jnp.ndarray,
     align = 128 // math.gcd(C, 128)
 
     if true_hw is not None:
-        assert feature.shape[2] == W + win_w, (feature.shape, W, win_w)
+        assert feature.shape[2] >= W + win_w, (feature.shape, W, win_w)
         assert feature.shape[1] >= H + win_h, (feature.shape, H, win_h)
-        flat = feature.reshape(B, feature.shape[1], (W + win_w) * C)
+        flat = feature.reshape(B, feature.shape[1],
+                               feature.shape[2] * C)
     else:
         padded = jnp.pad(feature,
                          ((0, 0), (0, win_h), (0, win_w), (0, 0)),
