@@ -44,8 +44,12 @@ def _install_torchvision_stub():
     """modules/midas/transforms.py imports torchvision only for
     transforms.Compose and functional color adjusters that
     get_transforms(...) leaves disabled (random_* = None); utils/log_utils
-    uses make_grid only in TB summaries outside the validate path."""
+    uses make_grid only in TB summaries outside the validate path.
+    RCNet/networks.py additionally needs ops.roi_pool and
+    rcnet_main.forward_output needs transforms.functional.pad - both get
+    faithful pure-torch implementations (`_roi_pool_torch`, edge pad)."""
     if "torchvision" in sys.modules:
+        _attach_torchvision_ops(sys.modules["torchvision"])
         return
     tv = types.ModuleType("torchvision")
     tvt = types.ModuleType("torchvision.transforms")
@@ -69,6 +73,70 @@ def _install_torchvision_stub():
     sys.modules["torchvision.transforms"] = tvt
     sys.modules["torchvision.transforms.functional"] = tvf
     sys.modules["torchvision.utils"] = tvu
+    _attach_torchvision_ops(tv)
+
+
+def _roi_pool_torch(input, boxes, output_size, spatial_scale=1.0):
+    """torchvision.ops.roi_pool reproduced in pure torch: round-half-away
+    start/end, legacy +1 extent, float bin boundaries, border clamp,
+    empty bins -> 0 (the C++ kernel's arithmetic, scalarized)."""
+    import math
+
+    import torch
+
+    if isinstance(boxes, (list, tuple)):
+        rois = torch.cat(
+            [torch.cat([torch.full((b.shape[0], 1), float(i)), b.float()],
+                       dim=1) for i, b in enumerate(boxes)], dim=0)
+    else:
+        rois = boxes.float()
+    B, C, H, W = input.shape
+    ph, pw = output_size
+    out = torch.zeros((rois.shape[0], C, ph, pw), dtype=input.dtype)
+
+    def r(v):
+        return int(math.floor(v * spatial_scale + 0.5))
+
+    for n in range(rois.shape[0]):
+        bi = int(rois[n, 0])
+        x1, y1, x2, y2 = (r(float(rois[n, i])) for i in (1, 2, 3, 4))
+        rw = max(x2 - x1 + 1, 1)
+        rh = max(y2 - y1 + 1, 1)
+        bh = rh / float(ph)
+        bw = rw / float(pw)
+        for py in range(ph):
+            hs = min(max(int(math.floor(py * bh)) + y1, 0), H)
+            he = min(max(int(math.ceil((py + 1) * bh)) + y1, 0), H)
+            for px in range(pw):
+                ws = min(max(int(math.floor(px * bw)) + x1, 0), W)
+                we = min(max(int(math.ceil((px + 1) * bw)) + x1, 0), W)
+                if he > hs and we > ws:
+                    out[n, :, py, px] = input[bi, :, hs:he, ws:we].amax(
+                        dim=(-2, -1))
+    return out
+
+
+def _attach_torchvision_ops(tv):
+    import types as _types
+
+    import torch
+    import torch.nn.functional as F
+
+    if not hasattr(tv, "ops"):
+        ops = _types.ModuleType("torchvision.ops")
+        tv.ops = ops
+        sys.modules["torchvision.ops"] = ops
+    tv.ops.roi_pool = _roi_pool_torch
+
+    def pad(img, padding, padding_mode="constant", fill=0):
+        l, t, r_, b = padding
+        if padding_mode == "edge":
+            x = img[None] if img.dim() == 3 else img
+            x = F.pad(x, (l, r_, t, b), mode="replicate")
+            return x[0] if img.dim() == 3 else x
+        return F.pad(img, (l, r_, t, b), value=fill)
+
+    tv.transforms.functional.pad = pad
 
     # timm is only reached through val_zju's DPTDepthModel import chain;
     # the midas-small path never calls it.  beit.py needs one name at
@@ -266,6 +334,13 @@ def _write_parity_md(ref, riders, rel):
         "test_stage1_intermediate_parity - max|int_depth diff| and "
         "max|int_scales diff| asserted < 2e-3.",
         "",
+        "Stage-2 (RC-Net quasi-dense generation): see "
+        "test_rcnet_stage2_parity - the reference's own "
+        "rcnet_main.forward_output (networks.py RCNetEncoder/decoder, "
+        "torchvision-exact roi_pool) vs the riders jitted stage-2 "
+        "pipeline with converted weights agrees on the nonzero support "
+        "exactly and on depth/response values at rtol 1e-4.",
+        "",
         "Regenerate: `python -m pytest tests/test_reference_parity.py -q`.",
     ]
     with open(os.path.join(REPO_ROOT, "PARITY.md"), "w") as f:
@@ -365,3 +440,127 @@ def test_end_to_end_metric_parity(reference_env, reference_model,
     bad = {k: f"{rel[k]:.4%} (ref {ref[k]:.6f} vs riders {riders[k]:.6f})"
            for k in METRIC_KEYS if rel[k] > BUDGET}
     assert not bad, f"metrics beyond the 1% budget: {bad}"
+
+
+# ---------------------------------------------------------------------------
+# Stage-2 parity: the reference's own RC-Net (networks.py / rcnet_model.py /
+# rcnet_main.forward_output) vs the riders_tpu jitted stage-2 pipeline with
+# converted weights.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def rcnet_env(reference_env):
+    """Import the reference RCNet stack (flat imports need the RCNet dir
+    on sys.path; `reference_env` already installed the torchvision stub
+    with roi_pool/pad)."""
+    rc_dir = os.path.join(REFERENCE, "RCNet")
+    if rc_dir not in sys.path:
+        sys.path.insert(0, rc_dir)
+    import rcnet_main
+    return rcnet_main
+
+
+def test_rcnet_stage2_parity(rcnet_env, mini_root):
+    """forward_output (rcnet_main.py:435-487) on the reference's own
+    networks vs the riders jitted inference - same random weights via
+    convert_rcnet_state_dict, same frame/points - must produce the same
+    quasi-dense depth and response maps."""
+    import torch
+    import torch.nn as nn
+
+    import jax
+
+    from rcnet_model import RCNetModel
+
+    from riders_tpu.models import convert
+    from riders_tpu.models.rcnet import RCNet
+    from riders_tpu.pipelines.rcnet_inference import (
+        make_rcnet_infer_fn,
+        pad_image_for_patches,
+    )
+
+    cfg = _mini_cfg(mini_root)
+    rc = cfg.rcnet
+    device = torch.device("cpu")
+
+    torch.manual_seed(3)
+    ref = RCNetModel(
+        input_channels_image=3, input_channels_depth=3,
+        input_patch_size_image=list(rc.patch_size),
+        encoder_type=["rcnet", "batch_norm"],
+        n_filters_encoder_image=list(rc.n_filters_encoder_image),
+        n_neurons_encoder_depth=list(rc.n_neurons_encoder_depth),
+        decoder_type=["multiscale", "batch_norm"],
+        n_filters_decoder=list(rc.n_filters_decoder),
+        weight_initializer="kaiming_uniform",
+        activation_func="leaky_relu", device=device)
+    for module in (ref.encoder, ref.decoder):
+        module.eval()
+        with torch.no_grad():
+            for m in module.modules():
+                if isinstance(m, nn.BatchNorm2d):
+                    m.running_mean.normal_(0, 0.1)
+                    m.running_var.uniform_(0.5, 2.0)
+                    m.weight.normal_(1.0, 0.1)
+                    m.bias.normal_(0, 0.1)
+
+    H, W = cfg.dataset.image_shape
+    ph, pw = rc.patch_size
+    pad_y, pad_x = ph // 2, pw // 2
+    rng = np.random.default_rng(11)
+    image = rng.random((H, W, 3)).astype(np.float32)
+    K = 4
+    pts = np.stack([
+        rng.integers(4, W - 4, K),
+        rng.integers(4, H - 4, K),
+        rng.random(K) * 40 + 3], axis=1).astype(np.float32)
+    thr = 0.4
+
+    # ---- reference: pad + shift on the host, forward_output ----
+    im_t = torch.from_numpy(image).permute(2, 0, 1)[None]
+    pts_ref = pts.copy()
+    pts_ref[:, 0] += pad_x
+    pts_ref[:, 1] += pad_y
+    pts_t = torch.from_numpy(pts_ref)
+    boxes_t = torch.stack([
+        pts_t[:, 0] - pad_x, pts_t[:, 1] - pad_y,
+        pts_t[:, 0] + pad_x, pts_t[:, 1] + pad_y], dim=1)
+    with torch.no_grad():
+        ref_depth, ref_resp = rcnet_env.forward_output(
+            ref, im_t, pts_t, [boxes_t], response_thr=thr, device=device)
+    ref_depth = ref_depth[0].numpy()
+    ref_resp = ref_resp[0].numpy()
+
+    # ---- riders: converted weights through the jitted pipeline ----
+    sd = {}
+    for prefix, module in (("encoder.", ref.encoder),
+                           ("decoder.", ref.decoder)):
+        for k, v in module.state_dict().items():
+            sd[prefix + k] = np.asarray(v.detach().numpy())
+    variables = convert.convert_rcnet_state_dict(sd)
+
+    model = RCNet(config=dataclasses.replace(rc, response_threshold=thr))
+    batch = {
+        "image": np.asarray(pad_image_for_patches(image, rc.patch_size))[
+            None],
+        "points": pts[None],
+        "point_mask": np.ones((1, K), np.float32),
+    }
+    mcfg = cfg.replace(rcnet=dataclasses.replace(rc,
+                                                 response_threshold=thr))
+    out = jax.device_get(
+        make_rcnet_infer_fn(mcfg, model)(variables, batch))
+    got_depth = np.asarray(out["depth"][0])
+    got_resp = np.asarray(out["response"][0])
+    assert float(out["threshold"][0]) == pytest.approx(thr)
+
+    assert ref_depth.shape == got_depth.shape == (H, W)
+    # identical nonzero support and matching values (fp32 network in both
+    # frameworks; the composition is a max + weighted average)
+    np.testing.assert_array_equal(ref_depth > 0, got_depth > 0)
+    np.testing.assert_allclose(got_resp, ref_resp, rtol=1e-4, atol=1e-4)
+    m = ref_depth > 0
+    assert m.sum() > 0, "test frame produced an empty quasi-dense map"
+    np.testing.assert_allclose(got_depth[m], ref_depth[m], rtol=1e-4,
+                               atol=1e-3)
