@@ -25,7 +25,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-BATCH = 16
+BATCH = int(os.environ.get("RIDERS_BENCH_BATCH", "16"))
 TARGET_FPS = 500.0
 
 

@@ -314,6 +314,11 @@ def convert_dpt_state_dict(sd: Dict[str, np.ndarray], cfg) -> Dict[str, Any]:
     p = "pretrained.model."
     params: Dict[str, Any] = {}
 
+    if cfg.backbone == "swin2":
+        params["pretrained"] = _convert_swin2_backbone(sd, p)
+        _convert_dpt_scratch(sd, cfg, params)
+        return {"params": params}
+
     backbone: Dict[str, Any] = {
         "patch_embed": {"kernel": _conv(sd, p + "patch_embed.proj.weight"),
                         "bias": sd[p + "patch_embed.proj.bias"]},
@@ -364,6 +369,14 @@ def convert_dpt_state_dict(sd: Dict[str, np.ndarray], cfg) -> Dict[str, Any]:
             blk["resize"] = _conv_entry(sd, f"{ap}.4")
         params[f"reassemble{n}"] = blk
 
+    _convert_dpt_scratch(sd, cfg, params)
+    return {"params": params}
+
+
+def _convert_dpt_scratch(sd: Dict[str, np.ndarray], cfg,
+                         params: Dict[str, Any]) -> None:
+    """scratch.* (layer_rn / refinenets / output head) - shared by every
+    DPT backbone family."""
     for n in (1, 2, 3, 4):
         params[f"layer{n}_rn"] = {
             "kernel": _conv(sd, f"scratch.layer{n}_rn.weight")}
@@ -387,7 +400,48 @@ def convert_dpt_state_dict(sd: Dict[str, np.ndarray], cfg) -> Dict[str, Any]:
     params["head_conv1"] = _conv_entry(sd, "scratch.output_conv.0")
     params["head_conv2"] = _conv_entry(sd, "scratch.output_conv.2")
     params["head_conv3"] = _conv_entry(sd, "scratch.output_conv.4")
-    return {"params": params}
+
+
+def _convert_swin2_backbone(sd: Dict[str, np.ndarray],
+                            p: str) -> Dict[str, Any]:
+    """timm 0.6.12 swin_transformer_v2 keys -> models.swin2
+    SwinV2Backbone params (q/v-only qkv bias, logit scales, cpb MLPs,
+    stage-end patch merging)."""
+    out: Dict[str, Any] = {
+        "patch_embed": {"kernel": _conv(sd, p + "patch_embed.proj.weight"),
+                        "bias": sd[p + "patch_embed.proj.bias"]},
+        "patch_norm": _ln(sd, p + "patch_embed.norm"),
+    }
+    si = 0
+    while p + f"layers.{si}.blocks.0.norm1.weight" in sd:
+        bi = 0
+        while p + f"layers.{si}.blocks.{bi}.norm1.weight" in sd:
+            b = p + f"layers.{si}.blocks.{bi}."
+            out[f"stage{si}_block{bi}"] = {
+                "norm1": _ln(sd, b + "norm1"),
+                "norm2": _ln(sd, b + "norm2"),
+                "mlp_fc1": _dense(sd, b + "mlp.fc1"),
+                "mlp_fc2": _dense(sd, b + "mlp.fc2"),
+                "attn": {
+                    "qkv_kernel": _linear(sd, b + "attn.qkv.weight"),
+                    "q_bias": sd[b + "attn.q_bias"],
+                    "v_bias": sd[b + "attn.v_bias"],
+                    "logit_scale": sd[b + "attn.logit_scale"],
+                    "cpb_fc1": _dense(sd, b + "attn.cpb_mlp.0"),
+                    "cpb_fc2": {
+                        "kernel": _linear(sd, b + "attn.cpb_mlp.2.weight")},
+                    "proj": _dense(sd, b + "attn.proj"),
+                },
+            }
+            bi += 1
+        dkey = p + f"layers.{si}.downsample.reduction.weight"
+        if dkey in sd:
+            out[f"downsample{si}"] = {
+                "reduction": {"kernel": _linear(sd, dkey)},
+                "norm": _ln(sd, p + f"layers.{si}.downsample.norm"),
+            }
+        si += 1
+    return out
 
 
 def check_tree_matches(converted: Any, template: Any, path: str = ""

@@ -7,14 +7,18 @@ a ViT-L/16 encoder tapped at four transformer depths, DPT reassembly
 `features=256`, and the same multiplicative scale-map head
 (scales = relu(1 + out), pred = d * scales, inverse-depth clamps).
 
-Differences from the reference noted explicitly:
-* The reference's default 'dpt-large' backbone is BEiT-L/16-512 (relative
-  position biases); here the backbone is the plain ViT-L/16 variant the
-  reference also supports (`vitl16_384` hooks [5, 11, 17, 23],
-  dpt_depth.py:63).  BEiT's decomposed relative position bias is a
-  conversion-compat gap tracked for a later round.
-* The position embedding is resized at trace time (static shapes) with the
-  same bilinear convention as backbones/vit.py:16-31.
+Backbone families (dpt_depth.py:51-64 hook table):
+* 'vit'   - plain ViT-L/16 (`vitl16_384`, hooks [5, 11, 17, 23]); the
+  position embedding resizes at trace time with the bilinear convention
+  of backbones/vit.py:16-31.
+* 'beit'  - BEiT-L/16-512 (the train_zju.py:189 default): decomposed
+  relative position biases, layer-scale gammas, q/v-only qkv bias.
+* 'swin2' - SwinV2-L window-24 (models/swin2.py): hierarchical taps feed
+  the scratch convs directly (swin_common.py's bare unflatten).
+Checkpoint converters for all three live in models.convert
+(convert_dpt_state_dict).  Swin2 nets must be square multiples of the
+window stride (the reference's swin2 table fixes 384x384,
+transforms_test.py:284-287).
 """
 
 from __future__ import annotations
@@ -33,7 +37,7 @@ Dtype = Any
 @dataclasses.dataclass(frozen=True)
 class DPTConfig:
     net_shape: Tuple[int, int] = (512, 672)   # minimal 512-resize of 480x640
-    backbone: str = "vit"                     # 'vit' | 'beit'
+    backbone: str = "vit"                     # 'vit' | 'beit' | 'swin2'
     patch_size: int = 16
     embed_dim: int = 1024
     depth: int = 24
@@ -48,6 +52,9 @@ class DPTConfig:
     # pretrained grid (vit_large_patch16_384: 24x24 + cls;
     # beitl16_512: 32x32 + cls)
     pretrained_grid: int = 24
+    # swin2 backbone plan (used when backbone == 'swin2'); None selects
+    # the swinv2_large_window12to24_192to384 default
+    swin2: Optional[Any] = None
 
 
 class ViTBlock(nn.Module):
@@ -58,12 +65,12 @@ class ViTBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         h = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads, qkv_features=self.dim,
             use_bias=True, dtype=self.dtype, name="attn")(h, h)
         x = x + h
-        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
                      name="mlp_fc1")(h)
         h = nn.gelu(h, approximate=False)
@@ -164,12 +171,12 @@ class BEiTBlock(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         g1 = self.param("gamma_1", nn.initializers.ones, (self.dim,))
         g2 = self.param("gamma_2", nn.initializers.ones, (self.dim,))
-        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         h = BEiTAttention(self.dim, self.num_heads, self.grid,
                           self.pretrained_grid, dtype=self.dtype,
                           name="attn")(h)
         x = x + g1.astype(h.dtype) * h
-        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
                      name="mlp_fc1")(h)
         h = nn.gelu(h, approximate=False)
@@ -322,15 +329,25 @@ class DPTScaleMapLearner(nn.Module):
     def __call__(self, x: jnp.ndarray, d: jnp.ndarray,
                  train: bool = False):
         cfg = self.config
-        taps, grid = ViTBackbone(cfg, dtype=self.dtype,
-                                 name="pretrained")(x)
-
-        scales4 = (4, 2, 1, -2)
-        feats = []
-        for i, tokens in enumerate(taps):
-            h = Reassemble(cfg.reassemble_channels[i], scales4[i],
+        if cfg.backbone == "swin2":
+            # hierarchical taps arrive as 4D maps at strides 4..32; no
+            # readout/reassembly stage (swin_common.py:35-51 is a bare
+            # unflatten), straight into the scratch layer_rn convs
+            from riders_tpu.models.swin2 import Swin2Config, SwinV2Backbone
+            maps = SwinV2Backbone(cfg.swin2 or Swin2Config(),
+                                  dtype=self.dtype, name="pretrained")(x)
+        else:
+            taps, grid = ViTBackbone(cfg, dtype=self.dtype,
+                                     name="pretrained")(x)
+            scales4 = (4, 2, 1, -2)
+            maps = [
+                Reassemble(cfg.reassemble_channels[i], scales4[i],
                            dtype=self.dtype, name=f"reassemble{i + 1}")(
                                tokens, grid)
+                for i, tokens in enumerate(taps)]
+
+        feats = []
+        for i, h in enumerate(maps):
             h = nn.Conv(cfg.features, (3, 3), padding=[(1, 1), (1, 1)],
                         use_bias=False, dtype=self.dtype,
                         name=f"layer{i + 1}_rn")(h)

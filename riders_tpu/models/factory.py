@@ -16,6 +16,8 @@ def build_sml_model(cfg: RidersConfig, dtype=jnp.float32):
     'midas-small-depth' -> ScaleMapLearner with direct depth regression
                            (MidasNet_small_depth, midas_net_custom.py:136)
     'dpt-large'         -> DPTScaleMapLearner (ViT-L/16 DPT)
+    'dpt-beit-large'    -> DPTScaleMapLearner (BEiT-L/16-512)
+    'dpt-swin2-large'   -> DPTScaleMapLearner (SwinV2-L window 24)
     """
     sml: SMLConfig = cfg.sml
     if sml.model_type in ("midas-small", "midas-small-depth"):
@@ -23,9 +25,11 @@ def build_sml_model(cfg: RidersConfig, dtype=jnp.float32):
         if sml.model_type == "midas-small-depth":
             sml = dataclasses.replace(sml, regress_mode="depth")
         return ScaleMapLearner(config=sml, dtype=dtype)
-    if sml.model_type in ("dpt-large", "dpt-beit-large"):
+    if sml.model_type in ("dpt-large", "dpt-beit-large",
+                          "dpt-swin2-large"):
         from riders_tpu.models.dpt import DPTConfig, DPTScaleMapLearner
-        backbone = "beit" if "beit" in sml.model_type else "vit"
+        backbone = ("beit" if "beit" in sml.model_type
+                    else "swin2" if "swin2" in sml.model_type else "vit")
         dcfg = DPTConfig(net_shape=sml.net_shape, backbone=backbone,
                          pretrained_grid=32 if backbone == "beit" else 24,
                          in_channels=sml.in_channels,
