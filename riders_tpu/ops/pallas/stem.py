@@ -17,8 +17,9 @@ negative result: strided slices are dead on arrival on this chip):
 * **Tap-major columns**: the host pre-transposes each padded row from
   (col, ch) to (s, col_pair) with s = (col_parity*Cin + ch): a stride-2
   7-tap column window then reads 4 *consecutive* col-pair lanes per s.
-  In-kernel the im2col is then 4*2*4 static slices concatenated along
-  sublanes, and the conv is one (K=4*2*4*2*Cin) MXU contraction per row.
+  In-kernel the im2col concatenates the n_q pair-row blocks along
+  sublanes (offset-0, tile-aligned) and the n_j col-pair shifts become
+  lane-sliced operands of n_j accumulated MXU contractions per row.
 
 The 7x7xCin kernel is scattered into the same (pair-row, row-parity,
 pair-col, col-parity, ch) slot order at trace time (structural zeros for
@@ -119,7 +120,6 @@ def stem_conv_pallas(image: jnp.ndarray,
     # the im2col concatenates full tile-aligned blocks (Mosaic cannot
     # concatenate at unaligned sublane offsets).
     SU = -(-2 * S // 16) * 16
-    KK = n_q * n_j * SU               # im2col contraction length
 
     # ---- host-side layout prep (cheap XLA pad/reshape/transpose) ----
     # Columns: `lead` zeros, data, zero tail to a pair count that is a
