@@ -260,6 +260,13 @@ class SwinV2Backbone(nn.Module):
             # timm _calc_window_shift: clamp to the stage resolution and
             # drop the shift when the window covers it
             window = min(cfg.window_size, min(res))
+            if res[0] % window or res[1] % window:
+                raise ValueError(
+                    f"swin2 stage {si} grid {res} is not divisible by its "
+                    f"window {window}; use a square input whose side is a "
+                    f"multiple of {cfg.patch_size * cfg.window_size * 2} "
+                    "(the reference fixes swin2 nets at 384x384, "
+                    "transforms_test.py:284-287)")
             for bi in range(depth):
                 shift = (window // 2 if (bi % 2 == 1
                                          and min(res) > window) else 0)

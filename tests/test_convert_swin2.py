@@ -311,3 +311,14 @@ def test_dpt_swin2_full_size_key_map():
     problems = convert.check_tree_matches(variables["params"],
                                           template["params"])
     assert not problems, problems[:10]
+
+
+def test_swin2_rejects_indivisible_grids():
+    import pytest
+
+    cfg = Swin2Config(embed_dim=EMBED, depths=DEPTHS, num_heads=HEADS,
+                      window_size=WINDOW,
+                      pretrained_window_sizes=PRETRAINED)
+    model = SwinV2Backbone(config=cfg)
+    with pytest.raises(ValueError, match="not divisible"):
+        model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 88, 3)))
