@@ -104,12 +104,6 @@ def shard_batch(mesh: Mesh, batch: Dict[str, jax.Array],
     return out
 
 
-def replicate_tree(mesh: Mesh, tree: Any) -> Any:
-    """Replicate a pytree (params / optimizer state) across the mesh."""
-    sharding = replicated(mesh)
-    return jax.device_put(tree, sharding)
-
-
 def with_data_sharding(mesh: Mesh, fn, donate_state: bool = False):
     """Wrap a (state, batch) -> (state, aux) step with explicit shardings:
     state replicated, batch sharded on `data` (and `points` where shaped

@@ -112,6 +112,10 @@ def train_sml(cfg: RidersConfig, checkpoint_dir: str,
 
     writer = log_lib.ScalarWriter(checkpoint_dir, "train")
     timer = log_lib.StepTimer(total_steps)
+    # hyperparameter dump (the reference's log_params(locals()),
+    # train_zju.py:84)
+    import dataclasses as _dc
+    log_lib.log_params(log_path, _dc.asdict(cfg))
     log_lib.log(f"Training SML: {len(dataset)} samples, "
                 f"{steps_per_epoch} steps/epoch, {n_epochs} epochs",
                 log_path)
@@ -167,6 +171,8 @@ def train_rcnet(cfg: RidersConfig, checkpoint_dir: str,
 
     writer = log_lib.ScalarWriter(checkpoint_dir, "train")
     timer = log_lib.StepTimer(total_steps)
+    import dataclasses as _dc
+    log_lib.log_params(log_path, _dc.asdict(cfg))
     log_lib.log(f"Training RC-Net: {len(dataset)} samples, "
                 f"{steps_per_epoch} steps/epoch, {n_epochs} epochs",
                 log_path)

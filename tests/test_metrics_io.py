@@ -97,3 +97,13 @@ def test_save_color_depth(tmp_path, rng):
     depthio.save_color_depth(z, str(tmp_path / "c.png"), max_depth=10.0)
     img = depthio.load_image(str(tmp_path / "c.png"))
     assert img.shape == (16, 16, 3)
+
+
+def test_path_list_roundtrip(tmp_path):
+    """Newline-delimited path lists (data_utils.py:18-56)."""
+    from riders_tpu.io.depthio import read_paths, write_paths
+
+    p = str(tmp_path / "paths.txt")
+    paths = ["/a/b/0.png", "/a/b/1.png", "rel/2.png"]
+    write_paths(p, paths)
+    assert read_paths(p) == paths
