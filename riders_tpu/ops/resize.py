@@ -180,22 +180,21 @@ def resize2d(x: jnp.ndarray,
             x = jnp.broadcast_to(x[..., :, None, :, :], shape)
             x = x.reshape(x.shape[:-4] + (h2,) + x.shape[-2:])
         elif h != h2:
-            orig = x.dtype
-            Wh = jnp.asarray(_nearest_matrix(h, h2))
-            x = jnp.einsum("oh,...hwc->...owc", Wh,
-                           x.astype(jnp.float32),
-                           precision="highest").astype(orig)
+            # one-hot selection: bf16 stays in bf16 (exact - one 1.0 tap
+            # per row - and 8x the f32 MXU rate); f32 keeps highest
+            # precision so the pass-through is bit-exact
+            prec = None if x.dtype == jnp.bfloat16 else "highest"
+            Wh = jnp.asarray(_nearest_matrix(h, h2)).astype(x.dtype)
+            x = jnp.einsum("oh,...hwc->...owc", Wh, x, precision=prec)
         if w != w2 and w2 % w == 0:
             f = w2 // w
             x = jnp.broadcast_to(x[..., :, None, :],
                                  x.shape[:-1] + (f, x.shape[-1]))
             x = x.reshape(x.shape[:-3] + (w2, x.shape[-1]))
         elif w != w2:
-            orig = x.dtype
-            Ww = jnp.asarray(_nearest_matrix(w, w2))
-            x = jnp.einsum("pw,...hwc->...hpc", Ww,
-                           x.astype(jnp.float32),
-                           precision="highest").astype(orig)
+            prec = None if x.dtype == jnp.bfloat16 else "highest"
+            Ww = jnp.asarray(_nearest_matrix(w, w2)).astype(x.dtype)
+            x = jnp.einsum("pw,...hwc->...hpc", Ww, x, precision=prec)
         return x
 
     if method == "bilinear":
