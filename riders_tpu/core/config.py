@@ -121,9 +121,18 @@ class RCNetConfig:
     normalized_image_range: Tuple[float, float] = (0.0, 1.0)
 
     @property
+    def encoder_downsample(self) -> int:
+        """Total encoder stride: stem /2 then one /2 per residual stage
+        after the first — 2^n_stages (networks.py:10-270; /32 for the
+        reference's 5-stage encoder)."""
+        return 2 ** len(self.n_filters_encoder_image)
+
+    @property
     def latent_shape(self) -> Tuple[int, int]:
-        """Latent patch grid: patch // 32 (rcnet_model.py:55-57)."""
-        return (self.patch_size[0] // 32, self.patch_size[1] // 32)
+        """Latent patch grid: patch // encoder stride (rcnet_model.py:55-57;
+        // 32 in the reference's fixed topology)."""
+        d = self.encoder_downsample
+        return (self.patch_size[0] // d, self.patch_size[1] // d)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -259,8 +259,9 @@ def roi_pool_pyramid_pallas(latent: jnp.ndarray,
                             skip1_true_hw: Tuple[int, int] | None = None
                             ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
     """Batched multi-scale pooling (RCNet/networks.py:404-433): latent at
-    1/32 plus skips at strides 2..16.  `skip1_true_hw` marks skips[0] as
-    an already-_NEG-padded canvas (see roi_window_pad)."""
+    1/2^(len(skips)+1) (1/32 in the reference topology) plus skips at
+    strides 2..  `skip1_true_hw` marks skips[0] as an already-_NEG-padded
+    canvas (see roi_window_pad)."""
     ph, pw = patch_size
     pooled_skips = []
     for i, skip in enumerate(skips):
@@ -270,7 +271,8 @@ def roi_pool_pyramid_pallas(latent: jnp.ndarray,
         pooled_skips.append(
             roi_max_pool_pallas(skip, boxes, s, out, patch_size, interpret,
                                 true_hw=hw))
-    latent_out = (ph // 32, pw // 32)
-    pooled_latent = roi_max_pool_pallas(latent, boxes, 1.0 / 32.0,
+    lat_stride = 2 ** (len(skips) + 1)
+    latent_out = (ph // lat_stride, pw // lat_stride)
+    pooled_latent = roi_max_pool_pallas(latent, boxes, 1.0 / lat_stride,
                                         latent_out, patch_size, interpret)
     return pooled_latent, pooled_skips

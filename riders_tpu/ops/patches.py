@@ -150,8 +150,9 @@ def roi_pool_pyramid(latent: jnp.ndarray,
     """Pool the latent and every skip scale for all boxes
     (RCNet/networks.py:404-433).
 
-    skips are ordered shallow->deep with strides 2, 4, 8, 16; the latent has
-    stride 32 and pooled size patch // 32.
+    skips are ordered shallow->deep with strides 2, 4, ..; the latent has
+    stride 2^(len(skips)+1) (32 for the reference's 5-stage encoder) and
+    pooled size patch // stride.
     """
     ph, pw = patch_size
     pooled_skips = []
@@ -159,8 +160,9 @@ def roi_pool_pyramid(latent: jnp.ndarray,
         s = 1.0 / (2 ** (i + 1))
         out = (int(ph * s), int(pw * s))
         pooled_skips.append(roi_max_pool(skip, boxes, s, out, patch_size))
-    latent_out = (ph // 32, pw // 32)
-    pooled_latent = roi_max_pool(latent, boxes, 1.0 / 32.0, latent_out,
+    lat_stride = 2 ** (len(skips) + 1)
+    latent_out = (ph // lat_stride, pw // lat_stride)
+    pooled_latent = roi_max_pool(latent, boxes, 1.0 / lat_stride, latent_out,
                                  patch_size)
     return pooled_latent, pooled_skips
 
