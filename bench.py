@@ -38,10 +38,15 @@ def build(preset: str = "ntu"):
     # 640x512 frames (the benchmark resolution); the preset sets the
     # patch geometry (NTU 150x50 / ZJU 240x100) and thresholds.  The
     # headline metric is the NTU preset; `python bench.py --zju` records
-    # the heavier ZJU decode (VERDICT r1 weak #6).
+    # the heavier ZJU decode (VERDICT r1 weak #6).  Point budgets follow
+    # the reference's own per-rig configs: ZJU 30 pts/frame
+    # (RCNet/train_rcnet_zju.py:30), NTU 40 (train_rcnet_ntu.py) - the
+    # bucket is the next multiple of 16.
     cfg = ntu_config() if preset == "ntu" else zju_config()
+    n_real = 40 if preset == "ntu" else 30
+    bucket = 48 if preset == "ntu" else 32
     cfg = cfg.replace(dataset=dataclasses.replace(
-        cfg.dataset, image_shape=(512, 640), max_points=48))
+        cfg.dataset, image_shape=(512, 640), max_points=bucket))
 
     rcnet = RCNet(config=cfg.rcnet, dtype=jnp.bfloat16)
     sml = ScaleMapLearner(config=cfg.sml, dtype=jnp.bfloat16)
@@ -52,7 +57,6 @@ def build(preset: str = "ntu"):
     rng = np.random.default_rng(0)
 
     depth = (5.0 + 50.0 * rng.random((BATCH, H, W))).astype(np.float32)
-    n_real = 40
     pts = np.zeros((BATCH, K, 3), np.float32)
     mask = np.zeros((BATCH, K), np.float32)
     for b in range(BATCH):

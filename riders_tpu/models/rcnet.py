@@ -173,12 +173,12 @@ class RCNet(nn.Module):
             name="encoder_image")(image, train)
         s1_hw = (-(-image.shape[-3] // 2), -(-image.shape[-2] // 2))
 
-        # The Pallas pooling kernel is inference-only (no JVP); training
-        # differentiates through the XLA formulation.
+        # Training uses the custom-VJP Pallas pool (scatter-to-argmax
+        # backward); on CPU both modes fall back to the XLA formulation,
+        # which is differentiable as written.
         pooled_latent, pooled_skips = roi_pool_pyramid_batched(
             latent, skips, boxes, cfg.patch_size,
-            use_pallas=False if train else None,
-            skip1_true_hw=s1_hw)
+            skip1_true_hw=s1_hw, differentiable=train)
         # -> (B, K, h, w, C) each; flatten the frame x point axes.
         flat = lambda t: t.reshape((B * K,) + t.shape[2:])
         pooled_latent = flat(pooled_latent)

@@ -111,6 +111,25 @@ def roi_window_pad(box_size: Tuple[int, int], scale: float,
     return win_h, win_w
 
 
+def _box_params(boxes: jnp.ndarray, scale: float, H: int, W: int,
+                align: int):
+    """Shared box->window arithmetic for the forward and backward kernels:
+    torchvision rounding (half away from zero), clamps, and the DMA
+    alignment split rs = div * alignment + residue."""
+    b32 = boxes.astype(jnp.float32)
+    r = lambda v: jnp.floor(v * scale + 0.5).astype(jnp.int32)
+    rs_w, rs_h = r(b32[..., 0]), r(b32[..., 1])
+    roi_w = jnp.maximum(r(b32[..., 2]) - rs_w + 1, 1)
+    roi_h = jnp.maximum(r(b32[..., 3]) - rs_h + 1, 1)
+    rs_h = jnp.clip(rs_h, 0, H)
+    rs_w = jnp.clip(rs_w, 0, W)
+    rs_w_div = rs_w // align
+    resid_w = rs_w - rs_w_div * align     # in W units; lane roll is *C
+    rs_h_div = rs_h // 8
+    resid_h = rs_h - rs_h_div * 8
+    return rs_h_div, resid_h, rs_w_div, resid_w, roi_h, roi_w
+
+
 def roi_max_pool_pallas(feature: jnp.ndarray,
                         boxes: jnp.ndarray,
                         scale: float,
@@ -149,17 +168,8 @@ def roi_max_pool_pallas(feature: jnp.ndarray,
                          constant_values=jnp.asarray(_NEG, feature.dtype))
         flat = padded.reshape(B, H + win_h, (W + win_w) * C)
 
-    b32 = boxes.astype(jnp.float32)
-    r = lambda v: jnp.floor(v * scale + 0.5).astype(jnp.int32)
-    rs_w, rs_h = r(b32[..., 0]), r(b32[..., 1])
-    roi_w = jnp.maximum(r(b32[..., 2]) - rs_w + 1, 1)
-    roi_h = jnp.maximum(r(b32[..., 3]) - rs_h + 1, 1)
-    rs_h = jnp.clip(rs_h, 0, H)
-    rs_w = jnp.clip(rs_w, 0, W)
-    rs_w_div = rs_w // align
-    resid_w = rs_w - rs_w_div * align     # in W units; lane roll is *C
-    rs_h_div = rs_h // 8
-    resid_h = rs_h - rs_h_div * 8
+    (rs_h_div, resid_h, rs_w_div, resid_w, roi_h, roi_w) = _box_params(
+        boxes, scale, H, W, align)
 
     # Chunk the K axis so the (double-buffered) output block fits VMEM.
     bytes_per_point = out_h * out_w * C * feature.dtype.itemsize
@@ -231,7 +241,7 @@ def roi_max_pool_pallas(feature: jnp.ndarray,
         grid=(B, n_chunks),
         in_specs=[
             pl.BlockSpec(flat.shape, lambda b, c, *_: (0, 0, 0),
-                         memory_space=pltpu.ANY),
+                         memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, kc, out_h, out_w * C),
                                lambda b, c, *_: (b, c, 0, 0)),
@@ -275,4 +285,274 @@ def roi_pool_pyramid_pallas(latent: jnp.ndarray,
     latent_out = (ph // lat_stride, pw // lat_stride)
     pooled_latent = roi_max_pool_pallas(latent, boxes, 1.0 / lat_stride,
                                         latent_out, patch_size, interpret)
+    return pooled_latent, pooled_skips
+
+
+# ---------------------------------------------------------------------------
+# Differentiable variant: custom VJP with a Pallas backward (max-pool
+# backward = route each bin's upstream gradient to the bin's argmax).
+# torchvision's backward sends the gradient to the FIRST max when a bin
+# holds exact-duplicate maxima; this kernel sends it to every tied element
+# (equality routing).  Exact float ties inside a bin do not occur for real
+# feature maps, and the repo's XLA formulation (lax.max select chains) is
+# the parity reference (tests/test_pallas_parity.py gradient test).
+# ---------------------------------------------------------------------------
+
+
+def _roi_pool_bwd_pallas(feature: jnp.ndarray,
+                         boxes: jnp.ndarray,
+                         grad: jnp.ndarray,
+                         scale: float,
+                         out_size: Tuple[int, int],
+                         box_size: Tuple[int, int],
+                         interpret: bool = False,
+                         true_hw: Tuple[int, int] | None = None
+                         ) -> jnp.ndarray:
+    """d(pooled)/d(feature)^T applied to `grad`.
+
+    grad: (B, K, out_h, out_w, C) cotangent of the pooled output.
+    Returns d(feature) with `feature`'s shape and dtype.
+
+    Per (b, k) grid step: re-DMA the feature window, recompute the
+    row/column bin maxima (cheap VPU work), route the bin gradients back
+    to their arg-max positions with static-slice masks + rolls, and
+    accumulate into the output canvas with a serialized read-modify-write
+    window DMA (the sequential TPU grid makes overlapping windows safe).
+    """
+    B, C = feature.shape[0], feature.shape[-1]
+    H, W = true_hw if true_hw is not None else feature.shape[1:3]
+    K = boxes.shape[1]
+    out_h, out_w = out_size
+    win_h, win_w = roi_window_pad(box_size, scale, C)
+    lane_w = win_w * C
+    roi_cases_h = _possible_rois(box_size[0], scale)
+    roi_cases_w = _possible_rois(box_size[1], scale)
+    align = 128 // math.gcd(C, 128)
+
+    if true_hw is not None:
+        assert feature.shape[2] >= W + win_w, (feature.shape, W, win_w)
+        assert feature.shape[1] >= H + win_h, (feature.shape, H, win_h)
+        flat = feature.reshape(B, feature.shape[1], feature.shape[2] * C)
+    else:
+        padded = jnp.pad(feature,
+                         ((0, 0), (0, win_h), (0, win_w), (0, 0)),
+                         constant_values=jnp.asarray(_NEG, feature.dtype))
+        flat = padded.reshape(B, H + win_h, (W + win_w) * C)
+
+    (rs_h_div, resid_h, rs_w_div, resid_w, roi_h, roi_w) = _box_params(
+        boxes, scale, H, W, align)
+
+    grad_flat = grad.reshape(B, K, out_h, out_w * C).astype(jnp.float32)
+    zeros_canvas = jnp.zeros(flat.shape, jnp.float32)
+
+    def kernel(rshd_ref, residh_ref, rswd_ref, residw_ref, roih_ref,
+               roiw_ref, feat_ref, grad_ref, zc_ref, dout_ref,
+               win_scratch, emb1, emb2, rmw_scratch, sems):
+        del zc_ref  # aliased storage of dout_ref
+        b = pl.program_id(0)
+        k = pl.program_id(1)
+
+        window = lambda ref: ref.at[
+            b, pl.ds(rshd_ref[b, k] * 8, win_h),
+            pl.ds(rswd_ref[b, k] * (align * C), lane_w)]
+
+        cp = pltpu.make_async_copy(window(feat_ref), win_scratch,
+                                   sems.at[0])
+        cp.start()
+        cp.wait()
+        win = win_scratch[...].astype(jnp.float32)
+        win = pltpu.roll(win, win_h - residh_ref[b, k], 0)
+        win = pltpu.roll(win, lane_w - residw_ref[b, k] * C, 1)
+
+        # Recompute the forward's staged maxima (identical case logic).
+        def select_case(variant_fn, cases, sel):
+            out = variant_fn(cases[0])
+            for rc in cases[1:]:
+                out = jnp.where(sel == rc, variant_fn(rc), out)
+            return out
+
+        rows = select_case(lambda rc: _h_bin_max(win, rc, out_h),
+                           roi_cases_h, roih_ref[b, k])
+        m = select_case(
+            lambda rc: _w_bin_max_flat(rows, rc, out_w, win_w, C),
+            roi_cases_w, roiw_ref[b, k])
+
+        g = grad_ref[0, 0]
+        g = jnp.where(m < _NEG * 0.5, 0.0, g)   # empty bins emitted 0
+
+        # Column unpool: spread g over the (out_h, lane_w) row-max grid.
+        def col_unpool(rc):
+            a, widths = _bin_plan(rc, out_w, win_w)
+            offs = a - np.arange(out_w)
+            emb1[...] = jnp.zeros((out_h, lane_w), jnp.float32)
+            acc = jnp.zeros((out_h, lane_w), jnp.float32)
+            if (offs == offs[0]).all() and (widths == widths[0]).all():
+                j = int(offs[0])
+                for t in range(int(widths[0])):
+                    rows_sl = jax.lax.slice_in_dim(
+                        rows, (j + t) * C, (j + t + out_w) * C, axis=1)
+                    emb1[:, 0:out_w * C] = g * (rows_sl == m)
+                    acc = acc + pltpu.roll(emb1[...], (j + t) * C, 1)
+            else:
+                for pi in range(out_w):
+                    g_sl = jax.lax.slice_in_dim(g, pi * C, (pi + 1) * C,
+                                                axis=1)
+                    m_sl = jax.lax.slice_in_dim(m, pi * C, (pi + 1) * C,
+                                                axis=1)
+                    for t in range(int(widths[pi])):
+                        col = int(a[pi]) + t
+                        rows_sl = jax.lax.slice_in_dim(
+                            rows, col * C, (col + 1) * C, axis=1)
+                        emb1[:, 0:C] = g_sl * (rows_sl == m_sl)
+                        acc = acc + pltpu.roll(emb1[...], col * C, 1)
+            return acc
+
+        gcol = select_case(col_unpool, roi_cases_w, roiw_ref[b, k])
+
+        # Row unpool: spread gcol over the (win_h, lane_w) window.
+        def row_unpool(rc):
+            a, widths = _bin_plan(rc, out_h, win_h)
+            offs = a - np.arange(out_h)
+            emb2[...] = jnp.zeros((win_h, lane_w), jnp.float32)
+            acc = jnp.zeros((win_h, lane_w), jnp.float32)
+            if (offs == offs[0]).all() and (widths == widths[0]).all():
+                j = int(offs[0])
+                for t in range(int(widths[0])):
+                    win_sl = jax.lax.slice_in_dim(
+                        win, j + t, j + t + out_h, axis=0)
+                    emb2[0:out_h, :] = gcol * (win_sl == rows)
+                    acc = acc + pltpu.roll(emb2[...], j + t, 0)
+            else:
+                for pi in range(out_h):
+                    gcol_sl = jax.lax.slice_in_dim(gcol, pi, pi + 1,
+                                                   axis=0)
+                    rows_sl = jax.lax.slice_in_dim(rows, pi, pi + 1,
+                                                   axis=0)
+                    for t in range(int(widths[pi])):
+                        row = int(a[pi]) + t
+                        win_sl = jax.lax.slice_in_dim(win, row, row + 1,
+                                                      axis=0)
+                        emb2[0:1, :] = gcol_sl * (win_sl == rows_sl)
+                        acc = acc + pltpu.roll(emb2[...], row, 0)
+            return acc
+
+        G = select_case(row_unpool, roi_cases_h, roih_ref[b, k])
+
+        # Back to window position, then serialized RMW accumulate.
+        G = pltpu.roll(G, residh_ref[b, k], 0)
+        G = pltpu.roll(G, residw_ref[b, k] * C, 1)
+
+        rd = pltpu.make_async_copy(window(dout_ref), rmw_scratch,
+                                   sems.at[1])
+        rd.start()
+        rd.wait()
+        rmw_scratch[...] = rmw_scratch[...] + G
+        wr = pltpu.make_async_copy(rmw_scratch, window(dout_ref),
+                                   sems.at[2])
+        wr.start()
+        wr.wait()
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(B, K),
+        in_specs=[
+            pl.BlockSpec(flat.shape, lambda b, k, *_: (0, 0, 0),
+                         memory_space=pl.ANY),
+            pl.BlockSpec((1, 1, out_h, out_w * C),
+                         lambda b, k, *_: (b, k, 0, 0)),
+            pl.BlockSpec(zeros_canvas.shape, lambda b, k, *_: (0, 0, 0),
+                         memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(zeros_canvas.shape,
+                               lambda b, k, *_: (0, 0, 0),
+                               memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((win_h, lane_w), feature.dtype),
+            pltpu.VMEM((out_h, lane_w), jnp.float32),
+            pltpu.VMEM((win_h, lane_w), jnp.float32),
+            pltpu.VMEM((win_h, lane_w), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+
+    dcanvas = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(zeros_canvas.shape, jnp.float32),
+        grid_spec=grid_spec,
+        # inputs flatten as [6 scalars, feat, grad, zeros_canvas]; alias
+        # the zero canvas to the output so the kernel can RMW it.
+        input_output_aliases={8: 0},
+        interpret=interpret,
+    )(rs_h_div, resid_h, rs_w_div, resid_w, roi_h, roi_w, flat,
+      grad_flat, zeros_canvas)
+
+    if true_hw is not None:
+        return dcanvas.reshape(feature.shape).astype(feature.dtype)
+    full = dcanvas.reshape(B, H + win_h, W + win_w, C)
+    return full[:, :H, :W].astype(feature.dtype)
+
+
+def _roi_diff(feature, boxes, scale, out_size, box_size, interpret,
+              true_hw):
+    return roi_max_pool_pallas(feature, boxes, scale, out_size, box_size,
+                               interpret, true_hw)
+
+
+_roi_diff = jax.custom_vjp(_roi_diff, nondiff_argnums=(2, 3, 4, 5, 6))
+
+
+def _roi_diff_fwd(feature, boxes, scale, out_size, box_size, interpret,
+                  true_hw):
+    out = roi_max_pool_pallas(feature, boxes, scale, out_size, box_size,
+                              interpret, true_hw)
+    return out, (feature, boxes)
+
+
+def _roi_diff_bwd(scale, out_size, box_size, interpret, true_hw, res,
+                  grad):
+    feature, boxes = res
+    dfeat = _roi_pool_bwd_pallas(feature, boxes, grad, scale, out_size,
+                                 box_size, interpret, true_hw)
+    return dfeat, jnp.zeros_like(boxes)
+
+
+_roi_diff.defvjp(_roi_diff_fwd, _roi_diff_bwd)
+
+
+def roi_max_pool_pallas_diff(feature: jnp.ndarray,
+                             boxes: jnp.ndarray,
+                             scale: float,
+                             out_size: Tuple[int, int],
+                             box_size: Tuple[int, int],
+                             interpret: bool = False,
+                             true_hw: Tuple[int, int] | None = None
+                             ) -> jnp.ndarray:
+    """`roi_max_pool_pallas` with a Pallas backward pass (custom VJP), for
+    training paths (RCNet/networks.py:418-433 under autograd)."""
+    return _roi_diff(feature, boxes, scale, out_size, box_size, interpret,
+                     true_hw)
+
+
+def roi_pool_pyramid_pallas_diff(latent: jnp.ndarray,
+                                 skips: Sequence[jnp.ndarray],
+                                 boxes: jnp.ndarray,
+                                 patch_size: Tuple[int, int],
+                                 interpret: bool = False,
+                                 skip1_true_hw: Tuple[int, int] | None = None
+                                 ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+    """Differentiable `roi_pool_pyramid_pallas` (every scale carries the
+    Pallas VJP)."""
+    ph, pw = patch_size
+    pooled_skips = []
+    for i, skip in enumerate(skips):
+        s = 1.0 / (2 ** (i + 1))
+        out = (int(ph * s), int(pw * s))
+        hw = skip1_true_hw if i == 0 else None
+        pooled_skips.append(
+            roi_max_pool_pallas_diff(skip, boxes, s, out, patch_size,
+                                     interpret, true_hw=hw))
+    lat_stride = 2 ** (len(skips) + 1)
+    latent_out = (ph // lat_stride, pw // lat_stride)
+    pooled_latent = roi_max_pool_pallas_diff(
+        latent, boxes, 1.0 / lat_stride, latent_out, patch_size, interpret)
     return pooled_latent, pooled_skips

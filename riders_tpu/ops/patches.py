@@ -237,13 +237,16 @@ def roi_pool_pyramid_batched(latent: jnp.ndarray,
                              boxes: jnp.ndarray,
                              patch_size: Tuple[int, int],
                              use_pallas: bool | None = None,
-                             skip1_true_hw: Tuple[int, int] | None = None
+                             skip1_true_hw: Tuple[int, int] | None = None,
+                             differentiable: bool = False
                              ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
     """Batched multi-scale RoI pooling over (B, K) boxes.
 
     On TPU this dispatches to the Pallas double-buffered window-DMA kernel
     (ops/pallas/roi_pool.py, ~8x the vmapped dynamic-slice formulation);
     elsewhere it vmaps the XLA version.  Results are identical.
+    ``differentiable=True`` selects the custom-VJP variant (Pallas
+    scatter-to-argmax backward) so training steps keep the fast kernel.
 
     `skip1_true_hw=(H, W)` marks skips[0] as a pre-padded _NEG canvas from
     the fused stem kernel (ops/pallas/stem.py pad_to): the Pallas path
@@ -252,7 +255,12 @@ def roi_pool_pyramid_batched(latent: jnp.ndarray,
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
     if use_pallas:
-        from riders_tpu.ops.pallas.roi_pool import roi_pool_pyramid_pallas
+        from riders_tpu.ops.pallas.roi_pool import (
+            roi_pool_pyramid_pallas, roi_pool_pyramid_pallas_diff)
+        if differentiable:
+            return roi_pool_pyramid_pallas_diff(
+                latent, skips, boxes, patch_size,
+                skip1_true_hw=skip1_true_hw)
         return roi_pool_pyramid_pallas(latent, skips, boxes, patch_size,
                                        skip1_true_hw=skip1_true_hw)
     if skip1_true_hw is not None:

@@ -257,6 +257,7 @@ def _synth_sml_state_dict(variables):
     return sd
 
 
+@pytest.mark.slow
 def test_sml_conversion_structure():
     cfg = SMLConfig(net_shape=(64, 96))
     model = ScaleMapLearner(config=cfg)

@@ -10,6 +10,7 @@ near-fp32-identical predictions.
 """
 
 import numpy as np
+import pytest
 import torch
 import torch.nn as nn
 import torch.nn.functional as F
@@ -308,10 +309,12 @@ def _run_twin(backbone, rng):
                                ref.numpy()[:, 0], rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_dpt_converter_vit(rng):
     _run_twin("vit", rng)
 
 
+@pytest.mark.slow
 def test_dpt_converter_beit(rng):
     _run_twin("beit", rng)
 

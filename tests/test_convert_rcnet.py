@@ -10,6 +10,7 @@ validated against torchvision semantics in test_patches.py.
 import math
 
 import numpy as np
+import pytest
 import torch
 import torch.nn as nn
 import torch.nn.functional as F
@@ -248,6 +249,7 @@ def torch_rcnet_forward(model, image_hwc, points, boxes):
     return logits.numpy().transpose(0, 2, 3, 1)
 
 
+@pytest.mark.slow
 def test_rcnet_converter_end_to_end(rng):
     torch.manual_seed(0)
     tmodel = TRCNet().eval()

@@ -7,6 +7,7 @@ weights must produce fp32-identical predictions.
 """
 
 import numpy as np
+import pytest
 import torch
 import torch.nn as nn
 import torch.nn.functional as F
@@ -173,6 +174,7 @@ class TSML(nn.Module):
         return pred
 
 
+@pytest.mark.slow
 def test_sml_converter_end_to_end(rng):
     torch.manual_seed(0)
     tmodel = TSML().eval()

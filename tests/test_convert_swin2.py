@@ -11,6 +11,7 @@ stage, a window==resolution stage and a window-clamped stage.
 import math
 
 import numpy as np
+import pytest
 import torch
 import torch.nn as nn
 import torch.nn.functional as F
@@ -200,6 +201,7 @@ class TSwin2(nn.Module):
         return taps
 
 
+@pytest.mark.slow
 def test_swin2_converter_end_to_end(rng):
     torch.manual_seed(2)
     tmodel = TSwin2().eval()

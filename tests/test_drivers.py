@@ -159,6 +159,7 @@ def test_rcnet_point_noise(mini_root):
     assert fired > 0
 
 
+@pytest.mark.slow
 def test_sml_training_and_validation_roundtrip(mini_root, tmp_path):
     from riders_tpu.pipelines.drivers import (
         evaluate_results_dir, train_sml, validate_sml)
@@ -181,6 +182,7 @@ def test_sml_training_and_validation_roundtrip(mini_root, tmp_path):
     assert abs(results["delta1"] - best["delta1"]) < 0.05
 
 
+@pytest.mark.slow
 def test_train_sml_data_parallel_over_mesh(mini_root, tmp_path):
     """The training drivers shard batches over the device mesh when more
     than one device is visible (the DataParallel replacement actually
@@ -204,6 +206,7 @@ def test_train_sml_data_parallel_over_mesh(mini_root, tmp_path):
     assert latest_step(ckpt_dir) == 2
 
 
+@pytest.mark.slow
 def test_validate_sml_interp_modes(mini_root, tmp_path):
     """The non-RCNet scale-map paths (val_zju.py:81-84, 176-179;
     modules/interpolator.py): 'none' = raw radar knots, 'interp' = dense
@@ -225,6 +228,7 @@ def test_validate_sml_interp_modes(mini_root, tmp_path):
     assert results["none"]["mae"] != results["interp"]["mae"]
 
 
+@pytest.mark.slow
 def test_rcnet_training_and_generation(mini_root, tmp_path):
     from riders_tpu.pipelines.drivers import run_rcnet, train_rcnet
     cfg = mini_config(mini_root)
@@ -256,6 +260,7 @@ def test_rcnet_training_and_generation(mini_root, tmp_path):
     assert d.shape == (96, 128)
 
 
+@pytest.mark.slow
 def test_checkpoint_resume(mini_root, tmp_path):
     from riders_tpu.core.checkpoint import latest_step
     from riders_tpu.pipelines.drivers import train_sml

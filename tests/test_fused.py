@@ -3,6 +3,7 @@
 import dataclasses
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -13,6 +14,7 @@ from riders_tpu.models.sml import ScaleMapLearner
 from riders_tpu.pipelines.fused import make_fused_fn
 
 
+@pytest.mark.slow
 def test_fused_pipeline_end_to_end(rng):
     cfg = zju_config()
     cfg = cfg.replace(

@@ -65,6 +65,68 @@ def test_roi_pool_parity_both_geometries(rng, patch, scale, out_size, feat):
     np.testing.assert_array_equal(np.asarray(ours), np.asarray(ref))
 
 
+@pytest.mark.parametrize("patch,scale,out_size,feat", [
+    # ZJU pyramid levels on the padded 720x740 frame (shrunk extents)
+    ((240, 100), 0.5, (120, 50), (360, 370, 8)),
+    ((240, 100), 1 / 32., (7, 3), (23, 24, 16)),
+    # NTU pyramid levels
+    ((150, 50), 0.25, (37, 12), (166, 173, 8)),
+    ((150, 50), 1 / 16., (9, 3), (42, 44, 16)),
+])
+def test_roi_pool_gradient_parity(rng, patch, scale, out_size, feat):
+    """The custom-VJP Pallas backward must match the XLA formulation's
+    autograd (scatter of each bin's cotangent to the bin argmax)."""
+    from riders_tpu.ops.pallas.roi_pool import roi_max_pool_pallas_diff
+    H, W, C = feat
+    B, K = 1, 4
+    ph, pw = patch
+    img_h, img_w = int(H / scale), int(W / scale)
+    f = rng.standard_normal((B, H, W, C)).astype(np.float32)
+    cx = rng.integers(pw // 2, img_w - pw // 2, (B, K))
+    cy = rng.integers(ph // 2, img_h - ph // 2, (B, K))
+    boxes = np.stack([cx - pw // 2, cy - ph // 2,
+                      cx + pw // 2, cy + ph // 2], -1).astype(np.float32)
+    w = rng.standard_normal(
+        (B, K, *out_size, C)).astype(np.float32)
+
+    def loss_pallas(feat_in):
+        out = roi_max_pool_pallas_diff(
+            feat_in, jnp.asarray(boxes), scale, out_size, patch,
+            interpret=True)
+        return jnp.sum(out * w)
+
+    def loss_xla(feat_in):
+        out = jax.vmap(lambda fb, bb: roi_max_pool(
+            fb, bb, scale, out_size, patch))(feat_in, jnp.asarray(boxes))
+        return jnp.sum(out * w)
+
+    g1 = jax.grad(loss_pallas)(jnp.asarray(f))
+    g2 = jax.grad(loss_xla)(jnp.asarray(f))
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_roi_pool_gradient_overlapping_boxes(rng):
+    """Overlapping windows accumulate through the serialized RMW path."""
+    from riders_tpu.ops.pallas.roi_pool import roi_max_pool_pallas_diff
+    patch, scale, out_size = (48, 32), 0.5, (24, 16)
+    H, W, C = 64, 48, 8
+    f = rng.standard_normal((1, H, W, C)).astype(np.float32)
+    # Identical + near-identical boxes: every window overlaps.
+    boxes = np.asarray([[[10, 12, 42, 60], [10, 12, 42, 60],
+                         [12, 14, 44, 62]]], np.float32)
+    w = rng.standard_normal((1, 3, *out_size, C)).astype(np.float32)
+
+    g1 = jax.grad(lambda x: jnp.sum(roi_max_pool_pallas_diff(
+        x, jnp.asarray(boxes), scale, out_size, patch,
+        interpret=True) * w))(jnp.asarray(f))
+    g2 = jax.grad(lambda x: jnp.sum(jax.vmap(lambda fb, bb: roi_max_pool(
+        fb, bb, scale, out_size, patch))(x, jnp.asarray(boxes)) * w))(
+            jnp.asarray(f))
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_roi_pool_boxes_at_image_edges(rng):
     """Boxes whose scaled windows touch the feature boundary must clamp the
     same way in both formulations."""

@@ -75,6 +75,7 @@ def test_sml_inference_pipeline(rng):
     assert float(np.asarray(out["depth"]).mean()) > 0
 
 
+@pytest.mark.slow
 def test_sml_train_step_decreases_loss(rng):
     cfg = tiny_config()
     model = ScaleMapLearner(config=cfg.sml)

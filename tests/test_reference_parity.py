@@ -404,6 +404,7 @@ def test_stage1_intermediate_parity(reference_env, mini_root):
     assert s_diff < 2e-3, f"int_scales max abs diff {s_diff}"
 
 
+@pytest.mark.slow
 def test_end_to_end_metric_parity(reference_env, reference_model,
                                   mini_root):
     """All 7 validation metrics within 1% of the actual reference."""

@@ -1,6 +1,7 @@
 """Sharding-layer tests on the virtual 8-device CPU mesh."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +33,7 @@ def test_mesh_undersupply_raises():
         sh.make_mesh(n_data=1, n_points=0)
 
 
+@pytest.mark.slow
 def test_dryrun_subprocess_reexec():
     """dryrun_multichip must self-recover when the process has too few
     devices by re-exec'ing with a forced virtual mesh (round-1 weak #1).
@@ -69,6 +71,7 @@ def test_shard_batch_layouts(rng):
                                   batch["image"])
 
 
+@pytest.mark.slow
 def test_points_sharded_fused_inference_matches_unsharded(rng):
     """The fused pipeline over a (data=4, points=2) mesh - the B x K patch
     axis actually split across devices - must match the unsharded result
