@@ -319,6 +319,20 @@ def convert_dpt_state_dict(sd: Dict[str, np.ndarray], cfg) -> Dict[str, Any]:
         _convert_dpt_scratch(sd, cfg, params)
         return {"params": params}
 
+    if cfg.backbone == "vit_hybrid":
+        params["pretrained"] = _convert_hybrid_backbone(sd, p, cfg)
+        for n in (3, 4):
+            ap = f"pretrained.act_postprocess{n}"
+            blk = {
+                "readout_project": _dense(sd, f"{ap}.0.project.0"),
+                "project": _conv_entry(sd, f"{ap}.3"),
+            }
+            if n == 4:       # stride-2 conv /2
+                blk["resize"] = _conv_entry(sd, f"{ap}.4")
+            params[f"reassemble{n}"] = blk
+        _convert_dpt_scratch(sd, cfg, params)
+        return {"params": params}
+
     backbone: Dict[str, Any] = {
         "patch_embed": {"kernel": _conv(sd, p + "patch_embed.proj.weight"),
                         "bias": sd[p + "patch_embed.proj.bias"]},
@@ -402,11 +416,68 @@ def _convert_dpt_scratch(sd: Dict[str, np.ndarray], cfg,
     params["head_conv3"] = _conv_entry(sd, "scratch.output_conv.4")
 
 
+def _convert_hybrid_backbone(sd: Dict[str, np.ndarray], p: str,
+                             cfg) -> Dict[str, Any]:
+    """timm `vit_base_resnet50_384` keys -> models.dpt HybridViTBackbone
+    params: ResNetV2 stages (StdConv kernels, GroupNorm scales) under
+    patch_embed.backbone, the 1x1 patch-embed proj, and the ViT-B blocks."""
+    bb = p + "patch_embed.backbone."
+
+    def gn(prefix):
+        return {"gn": {"scale": sd[prefix + ".weight"],
+                       "bias": sd[prefix + ".bias"]}}
+
+    resnet: Dict[str, Any] = {
+        "stem_conv": {"kernel": _conv(sd, bb + "stem.conv.weight")},
+        "stem_norm": gn(bb + "stem.norm"),
+    }
+    si = 0
+    while bb + f"stages.{si}.blocks.0.conv1.weight" in sd:
+        bi = 0
+        while bb + f"stages.{si}.blocks.{bi}.conv1.weight" in sd:
+            b = bb + f"stages.{si}.blocks.{bi}."
+            blk = {
+                "conv1": {"kernel": _conv(sd, b + "conv1.weight")},
+                "norm1": gn(b + "norm1"),
+                "conv2": {"kernel": _conv(sd, b + "conv2.weight")},
+                "norm2": gn(b + "norm2"),
+                "conv3": {"kernel": _conv(sd, b + "conv3.weight")},
+                "norm3": gn(b + "norm3"),
+            }
+            if b + "downsample.conv.weight" in sd:
+                blk["downsample_conv"] = {
+                    "kernel": _conv(sd, b + "downsample.conv.weight")}
+                blk["downsample_norm"] = gn(b + "downsample.norm")
+            resnet[f"stage{si}_block{bi}"] = blk
+            bi += 1
+        si += 1
+
+    out: Dict[str, Any] = {
+        "backbone": resnet,
+        "patch_embed": {"kernel": _conv(sd, p + "patch_embed.proj.weight"),
+                        "bias": sd[p + "patch_embed.proj.bias"]},
+        "cls_token": sd[p + "cls_token"],
+        "pos_embed": sd[p + "pos_embed"],
+    }
+    for i in range(cfg.depth):
+        bp = p + f"blocks.{i}."
+        out[f"block{i}"] = {
+            "norm1": _ln(sd, bp + "norm1"),
+            "norm2": _ln(sd, bp + "norm2"),
+            "mlp_fc1": _dense(sd, bp + "mlp.fc1"),
+            "mlp_fc2": _dense(sd, bp + "mlp.fc2"),
+            "attn": _mhdpa(sd, bp + "attn", cfg.num_heads),
+        }
+    return out
+
+
 def _convert_swin2_backbone(sd: Dict[str, np.ndarray],
                             p: str) -> Dict[str, Any]:
-    """timm 0.6.12 swin_transformer_v2 keys -> models.swin2
-    SwinV2Backbone params (q/v-only qkv bias, logit scales, cpb MLPs,
-    stage-end patch merging)."""
+    """timm 0.6.12 swin_transformer(_v2) keys -> models.swin2
+    SwinV2Backbone params.  V2 blocks (q/v-only qkv bias, logit scales,
+    cpb MLPs) and V1 blocks (full qkv bias, learned rel-pos tables -
+    the `swinl12_384` row) are auto-detected per block by the presence of
+    `attn.logit_scale`."""
     out: Dict[str, Any] = {
         "patch_embed": {"kernel": _conv(sd, p + "patch_embed.proj.weight"),
                         "bias": sd[p + "patch_embed.proj.bias"]},
@@ -417,12 +488,14 @@ def _convert_swin2_backbone(sd: Dict[str, np.ndarray],
         bi = 0
         while p + f"layers.{si}.blocks.{bi}.norm1.weight" in sd:
             b = p + f"layers.{si}.blocks.{bi}."
-            out[f"stage{si}_block{bi}"] = {
+            blk: Dict[str, Any] = {
                 "norm1": _ln(sd, b + "norm1"),
                 "norm2": _ln(sd, b + "norm2"),
                 "mlp_fc1": _dense(sd, b + "mlp.fc1"),
                 "mlp_fc2": _dense(sd, b + "mlp.fc2"),
-                "attn": {
+            }
+            if b + "attn.logit_scale" in sd:        # V2 block
+                blk["attn"] = {
                     "qkv_kernel": _linear(sd, b + "attn.qkv.weight"),
                     "q_bias": sd[b + "attn.q_bias"],
                     "v_bias": sd[b + "attn.v_bias"],
@@ -431,8 +504,15 @@ def _convert_swin2_backbone(sd: Dict[str, np.ndarray],
                     "cpb_fc2": {
                         "kernel": _linear(sd, b + "attn.cpb_mlp.2.weight")},
                     "proj": _dense(sd, b + "attn.proj"),
-                },
-            }
+                }
+            else:                                   # V1 block
+                blk["attn"] = {
+                    "qkv": _dense(sd, b + "attn.qkv"),
+                    "rel_pos_bias_table":
+                        sd[b + "attn.relative_position_bias_table"],
+                    "proj": _dense(sd, b + "attn.proj"),
+                }
+            out[f"stage{si}_block{bi}"] = blk
             bi += 1
         dkey = p + f"layers.{si}.downsample.reduction.weight"
         if dkey in sd:

@@ -7,18 +7,23 @@ a ViT-L/16 encoder tapped at four transformer depths, DPT reassembly
 `features=256`, and the same multiplicative scale-map head
 (scales = relu(1 + out), pred = d * scales, inverse-depth clamps).
 
-Backbone families (dpt_depth.py:51-64 hook table):
-* 'vit'   - plain ViT-L/16 (`vitl16_384`, hooks [5, 11, 17, 23]); the
-  position embedding resizes at trace time with the bilinear convention
-  of backbones/vit.py:16-31.
-* 'beit'  - BEiT-L/16-512 (the train_zju.py:189 default): decomposed
-  relative position biases, layer-scale gammas, q/v-only qkv bias.
-* 'swin2' - SwinV2-L window-24 (models/swin2.py): hierarchical taps feed
-  the scratch convs directly (swin_common.py's bare unflatten).
-Checkpoint converters for all three live in models.convert
-(convert_dpt_state_dict).  Swin2 nets must be square multiples of the
-window stride (the reference's swin2 table fixes 384x384,
-transforms_test.py:284-287).
+Backbone families (dpt_depth.py:51-64 hook table; blocks_large.py:33-131):
+* 'vit'        - plain ViT (`vitl16_384` hooks [5,11,17,23]; `vitb16_384`
+  hooks [2,5,8,11]); the position embedding resizes at trace time with
+  the bilinear convention of backbones/vit.py:16-31.
+* 'beit'       - BEiT (`beitl16_512` - the train_zju.py:189 default -
+  plus the l/16-384 and b/16-384 rows): decomposed relative position
+  biases, layer-scale gammas, q/v-only qkv bias.
+* 'swin2'      - SwinV2 L/B/T and Swin-V1-L (models/swin2.py version
+  switch): hierarchical taps feed the scratch convs directly
+  (swin_common.py's bare unflatten).
+* 'vit_hybrid' - `vitb_rn50_384` (dpt_hybrid): ResNetV2-50 stages feed a
+  1x1 patch embed into ViT-B; taps 1-2 are resnet stage maps
+  (backbones/vit.py:120-221).
+models/factory.py:DPT_FAMILIES maps model_type strings to these rows;
+checkpoint converters live in models.convert (convert_dpt_state_dict).
+Swin nets must be square multiples of the window stride (the reference's
+swin tables fix 384x384 / 256x256, transforms_test.py:284-287).
 """
 
 from __future__ import annotations
@@ -26,6 +31,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -241,6 +247,149 @@ class ViTBackbone(nn.Module):
         return taps, (gh, gw)
 
 
+class StdConv(nn.Module):
+    """Weight-standardized conv with TF-SAME padding (timm StdConv2dSame,
+    the ResNetV2 conv of `vit_base_resnet50_384`): per-output-channel
+    zero-mean unit-var kernel standardization, eps 1e-6, biased variance."""
+
+    features: int
+    kernel: int
+    stride: int = 1
+    use_bias: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.kernel, self.kernel, x.shape[-1],
+                        self.features))
+        kf = k.astype(jnp.float32)
+        mean = jnp.mean(kf, axis=(0, 1, 2), keepdims=True)
+        var = jnp.var(kf, axis=(0, 1, 2), keepdims=True)
+        kf = (kf - mean) / jnp.sqrt(var + 1e-6)
+        out = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kf.astype(self.dtype),
+            (self.stride, self.stride), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.use_bias:
+            out = out + self.param("bias", nn.initializers.zeros,
+                                   (self.features,)).astype(out.dtype)
+        return out
+
+
+class _GNAct(nn.Module):
+    """GroupNorm(32) + optional relu (timm GroupNormAct)."""
+
+    apply_act: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype,
+                         name="gn")(x)
+        return nn.relu(h) if self.apply_act else h
+
+
+class ResNetV2Bottleneck(nn.Module):
+    """timm resnetv2.Bottleneck (preact=False): 1x1/3x3/1x1 StdConvs with
+    GroupNorm+relu after each, norm-no-act on the last and the projection,
+    relu after the residual add."""
+
+    mid: int
+    out: int
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        shortcut = x
+        if x.shape[-1] != self.out or self.stride != 1:
+            shortcut = StdConv(self.out, 1, self.stride, dtype=self.dtype,
+                               name="downsample_conv")(x)
+            shortcut = _GNAct(False, dtype=self.dtype,
+                              name="downsample_norm")(shortcut)
+        h = StdConv(self.mid, 1, 1, dtype=self.dtype, name="conv1")(x)
+        h = _GNAct(dtype=self.dtype, name="norm1")(h)
+        h = StdConv(self.mid, 3, self.stride, dtype=self.dtype,
+                    name="conv2")(h)
+        h = _GNAct(dtype=self.dtype, name="norm2")(h)
+        h = StdConv(self.out, 1, 1, dtype=self.dtype, name="conv3")(h)
+        h = _GNAct(False, dtype=self.dtype, name="norm3")(h)
+        return nn.relu(h + shortcut)
+
+
+class ResNetV2Stages(nn.Module):
+    """The truncated ResNetV2-50 of timm's `vit_base_resnet50_384` hybrid
+    patch embed: 'same' stem (7x7/2 StdConv + GN/relu + 3x3/2 SAME pool)
+    and three bottleneck stages (3, 4, 9 blocks; 256/512/1024 channels;
+    strides 1, 2, 2).  Returns the three stage outputs at /4, /8, /16 -
+    the first two are DPT hybrid taps (backbones/vit.py:120-141)."""
+
+    layers: Tuple[int, ...] = (3, 4, 9)
+    channels: Tuple[int, ...] = (256, 512, 1024)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        h = StdConv(64, 7, 2, dtype=self.dtype, name="stem_conv")(x)
+        h = _GNAct(dtype=self.dtype, name="stem_norm")(h)
+        # MaxPool2dSame(3, 2): TF-SAME asymmetric padding.
+        h = nn.max_pool(h, (3, 3), strides=(2, 2), padding="SAME")
+        outs = []
+        for si, (n, c) in enumerate(zip(self.layers, self.channels)):
+            for bi in range(n):
+                stride = 2 if (si > 0 and bi == 0) else 1
+                h = ResNetV2Bottleneck(c // 4, c, stride, dtype=self.dtype,
+                                       name=f"stage{si}_block{bi}")(h)
+            outs.append(h)
+        return outs
+
+
+class HybridViTBackbone(nn.Module):
+    """`vitb_rn50_384` (dpt_hybrid): ResNetV2 stages feed a 1x1 patch
+    embed into ViT-B/16 blocks; taps 1-2 are the first two resnet stage
+    maps, taps 3-4 are transformer token hooks (backbones/vit.py:120-221,
+    hooks [0, 1, 8, 11] tap blocks 8 and 11)."""
+
+    config: "DPTConfig"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        cfg = self.config
+        B, H, W, _ = x.shape
+        f4, f8, f16 = ResNetV2Stages(dtype=self.dtype,
+                                     name="backbone")(x)
+        gh, gw = f16.shape[1], f16.shape[2]
+
+        h = nn.Conv(cfg.embed_dim, (1, 1), dtype=self.dtype,
+                    name="patch_embed")(f16)
+        tokens = h.reshape(B, gh * gw, cfg.embed_dim)
+        cls = self.param("cls_token", nn.initializers.zeros,
+                         (1, 1, cfg.embed_dim))
+        tokens = jnp.concatenate(
+            [jnp.broadcast_to(cls, (B, 1, cfg.embed_dim)), tokens], axis=1)
+        pos = self.param(
+            "pos_embed", nn.initializers.normal(0.02),
+            (1, cfg.pretrained_grid * cfg.pretrained_grid + 1,
+             cfg.embed_dim))
+        pos_cls, pos_grid = pos[:, :1], pos[:, 1:]
+        pos_grid = pos_grid.reshape(
+            1, cfg.pretrained_grid, cfg.pretrained_grid, cfg.embed_dim)
+        pos_grid = resize2d(pos_grid, (gh, gw), "bilinear",
+                            align_corners=False)
+        pos_grid = pos_grid.reshape(1, gh * gw, cfg.embed_dim)
+        tokens = tokens + jnp.concatenate([pos_cls, pos_grid], axis=1)
+
+        taps = []
+        for i in range(cfg.depth):
+            tokens = ViTBlock(cfg.embed_dim, cfg.num_heads, cfg.mlp_ratio,
+                              dtype=self.dtype, name=f"block{i}")(tokens)
+            if i in cfg.hooks[2:]:
+                taps.append(tokens)
+        return (f4, f8), taps, (gh, gw)
+
+
 class Reassemble(nn.Module):
     """DPT reassembly for one tap (backbones/utils.py:144-249): 'project'
     readout folds the cls token into every patch token, then a 1x1 conv and
@@ -336,6 +485,18 @@ class DPTScaleMapLearner(nn.Module):
             from riders_tpu.models.swin2 import Swin2Config, SwinV2Backbone
             maps = SwinV2Backbone(cfg.swin2 or Swin2Config(),
                                   dtype=self.dtype, name="pretrained")(x)
+        elif cfg.backbone == "vit_hybrid":
+            # dpt_hybrid (vitb_rn50_384): the first two taps are raw
+            # ResNetV2 stage maps, the last two are transformer hooks
+            # through readout reassembly at /16 and /32
+            # (backbones/vit.py:150-190).
+            (f4, f8), hooks, grid = HybridViTBackbone(
+                cfg, dtype=self.dtype, name="pretrained")(x)
+            maps = [f4, f8] + [
+                Reassemble(cfg.reassemble_channels[i + 2], (1, -2)[i],
+                           dtype=self.dtype, name=f"reassemble{i + 3}")(
+                               tokens, grid)
+                for i, tokens in enumerate(hooks)]
         else:
             taps, grid = ViTBackbone(cfg, dtype=self.dtype,
                                      name="pretrained")(x)

@@ -38,7 +38,13 @@ Dtype = Any
 
 @dataclasses.dataclass(frozen=True)
 class Swin2Config:
-    """swinv2_large_window12to24_192to384 by default."""
+    """swinv2_large_window12to24_192to384 by default.
+
+    ``version=1`` selects Swin V1 semantics (timm swin_transformer.py,
+    the reference's `swinl12_384` row, blocks_large.py:79-85): pre-norm
+    blocks, scaled dot-product attention with a directly-learned relative
+    position bias table (no cosine/CPB), full qkv bias, and
+    norm-before-reduction patch merging."""
 
     patch_size: int = 4
     embed_dim: int = 192
@@ -47,6 +53,11 @@ class Swin2Config:
     window_size: int = 24
     pretrained_window_sizes: Tuple[int, ...] = (12, 12, 12, 6)
     mlp_ratio: float = 4.0
+    version: int = 2
+
+
+# timm swin_large_patch4_window12_384 (the reference's swinl12_384 row).
+SWIN1_LARGE = Swin2Config(window_size=12, version=1)
 
 
 def _rel_pos_index(wh: int, ww: int) -> np.ndarray:
@@ -175,7 +186,57 @@ class WindowAttentionV2(nn.Module):
                         name="proj")(out)
 
 
+class WindowAttentionV1(nn.Module):
+    """Swin V1 window attention (timm swin_transformer.py): scaled
+    dot-product with a directly-learned relative position bias table and
+    full qkv bias."""
+
+    dim: int
+    num_heads: int
+    window: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 mask: np.ndarray | None) -> jnp.ndarray:
+        Bw, N, C = x.shape
+        nh = self.num_heads
+        hd = C // nh
+
+        qkv = nn.Dense(3 * C, use_bias=True, dtype=self.dtype,
+                       name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(Bw, N, nh, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(Bw, N, nh, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(Bw, N, nh, hd).transpose(0, 2, 1, 3)
+
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k).astype(jnp.float32)
+        attn = attn * (hd ** -0.5)
+
+        w = self.window
+        table = self.param("rel_pos_bias_table",
+                           nn.initializers.normal(0.02),
+                           ((2 * w - 1) * (2 * w - 1), nh))
+        idx = jnp.asarray(_rel_pos_index(w, w))
+        bias = table[idx.reshape(-1)].reshape(N, N, nh)
+        attn = attn + bias.transpose(2, 0, 1)[None].astype(jnp.float32)
+
+        if mask is not None:
+            nW = mask.shape[0]
+            attn = attn.reshape(Bw // nW, nW, nh, N, N)
+            attn = attn + jnp.asarray(mask)[None, :, None]
+            attn = attn.reshape(Bw, nh, N, N)
+        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(Bw, N, C)
+        return nn.Dense(C, use_bias=True, dtype=self.dtype,
+                        name="proj")(out)
+
+
 class SwinBlockV2(nn.Module):
+    """One swin block; ``version=2`` post-norm (V2), ``version=1``
+    pre-norm with V1 attention."""
+
     dim: int
     num_heads: int
     resolution: Tuple[int, int]
@@ -183,6 +244,7 @@ class SwinBlockV2(nn.Module):
     shift: int
     pretrained_window: int
     mlp_ratio: float = 4.0
+    version: int = 2
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -191,32 +253,50 @@ class SwinBlockV2(nn.Module):
         B = x.shape[0]
         C = self.dim
 
-        h = x.reshape(B, H, W, C)
-        if self.shift > 0:
-            h = jnp.roll(h, (-self.shift, -self.shift), axis=(1, 2))
-            mask = _shift_mask(H, W, self.window, self.shift)
-        else:
-            mask = None
-        wins = _partition(h, self.window)
-        wins = WindowAttentionV2(C, self.num_heads, self.window,
-                                 self.pretrained_window,
-                                 dtype=self.dtype, name="attn")(wins, mask)
-        h = _unpartition(wins, self.window, B, H, W)
-        if self.shift > 0:
-            h = jnp.roll(h, (self.shift, self.shift), axis=(1, 2))
-        h = h.reshape(B, H * W, C)
-        x = x + nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(h)
+        def attention(tokens):
+            h = tokens.reshape(B, H, W, C)
+            if self.shift > 0:
+                h = jnp.roll(h, (-self.shift, -self.shift), axis=(1, 2))
+                mask = _shift_mask(H, W, self.window, self.shift)
+            else:
+                mask = None
+            wins = _partition(h, self.window)
+            if self.version == 1:
+                wins = WindowAttentionV1(C, self.num_heads, self.window,
+                                         dtype=self.dtype,
+                                         name="attn")(wins, mask)
+            else:
+                wins = WindowAttentionV2(C, self.num_heads, self.window,
+                                         self.pretrained_window,
+                                         dtype=self.dtype,
+                                         name="attn")(wins, mask)
+            h = _unpartition(wins, self.window, B, H, W)
+            if self.shift > 0:
+                h = jnp.roll(h, (self.shift, self.shift), axis=(1, 2))
+            return h.reshape(B, H * W, C)
 
-        h = nn.Dense(int(C * self.mlp_ratio), dtype=self.dtype,
-                     name="mlp_fc1")(x)
-        h = nn.gelu(h, approximate=False)
-        h = nn.Dense(C, dtype=self.dtype, name="mlp_fc2")(h)
-        return x + nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(h)
+        def mlp(tokens):
+            h = nn.Dense(int(C * self.mlp_ratio), dtype=self.dtype,
+                         name="mlp_fc1")(tokens)
+            h = nn.gelu(h, approximate=False)
+            return nn.Dense(C, dtype=self.dtype, name="mlp_fc2")(h)
+
+        norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")
+        norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")
+        if self.version == 1:
+            x = x + attention(norm1(x))
+            return x + mlp(norm2(x))
+        x = x + norm1(attention(x))
+        return x + norm2(mlp(x))
 
 
 class PatchMergingV2(nn.Module):
+    """Patch merging; V2 reduces then norms (2C), V1 norms the 4C concat
+    first (timm swin_transformer.py PatchMerging)."""
+
     out_dim: int
     resolution: Tuple[int, int]
+    version: int = 2
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -227,6 +307,11 @@ class PatchMergingV2(nn.Module):
         parts = [h[:, 0::2, 0::2], h[:, 1::2, 0::2],
                  h[:, 0::2, 1::2], h[:, 1::2, 1::2]]
         h = jnp.concatenate(parts, axis=-1).reshape(B, L // 4, 4 * C)
+        if self.version == 1:
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                             name="norm")(h)
+            return nn.Dense(self.out_dim, use_bias=False, dtype=self.dtype,
+                            name="reduction")(h)
         h = nn.Dense(self.out_dim, use_bias=False, dtype=self.dtype,
                      name="reduction")(h)
         return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(h)
@@ -273,10 +358,12 @@ class SwinV2Backbone(nn.Module):
                 h = SwinBlockV2(
                     dim, cfg.num_heads[si], res, window, shift,
                     cfg.pretrained_window_sizes[si], cfg.mlp_ratio,
-                    dtype=self.dtype, name=f"stage{si}_block{bi}")(h)
+                    version=cfg.version, dtype=self.dtype,
+                    name=f"stage{si}_block{bi}")(h)
             taps.append(h.reshape(B, res[0], res[1], dim))
             if si < len(cfg.depths) - 1:
-                h = PatchMergingV2(2 * dim, res, dtype=self.dtype,
+                h = PatchMergingV2(2 * dim, res, version=cfg.version,
+                                   dtype=self.dtype,
                                    name=f"downsample{si}")(h)
                 res = (res[0] // 2, res[1] // 2)
         return taps

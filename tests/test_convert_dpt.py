@@ -397,3 +397,88 @@ def test_dpt_full_size_key_map():
     problems = convert.check_tree_matches(variables["params"],
                                           template["params"])
     assert not problems, problems[:10]
+
+
+def test_resnetv2_bottleneck_matches_torch(rng):
+    """StdConv (weight-standardized, TF-SAME) + GroupNorm bottleneck vs a
+    timm resnetv2 non-preact Bottleneck twin (the dpt_hybrid stem)."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    from riders_tpu.models.dpt import ResNetV2Bottleneck
+
+    cin, mid, cout, stride = 64, 32, 128, 2
+
+    class StdConv2dSame(nn.Conv2d):
+        def forward(self, x):
+            w = self.weight
+            w = (w - w.mean(dim=(1, 2, 3), keepdim=True)) / (
+                w.var(dim=(1, 2, 3), keepdim=True, unbiased=False)
+                + 1e-6).sqrt()
+            # TF-SAME asymmetric padding for stride s
+            ih, iw = x.shape[-2:]
+            kh, kw = w.shape[-2:]
+            s = self.stride[0]
+            ph = max((-(-ih // s) - 1) * s + kh - ih, 0)
+            pw = max((-(-iw // s) - 1) * s + kw - iw, 0)
+            x = F.pad(x, (pw // 2, pw - pw // 2, ph // 2, ph - ph // 2))
+            return F.conv2d(x, w, self.bias, self.stride, 0)
+
+    def gn(c, act=True):
+        layers = [nn.GroupNorm(32, c, eps=1e-5)]
+        if act:
+            layers.append(nn.ReLU())
+        return nn.Sequential(*layers)
+
+    class Twin(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = StdConv2dSame(cin, mid, 1, bias=False)
+            self.norm1 = gn(mid)
+            self.conv2 = StdConv2dSame(mid, mid, 3, stride=stride,
+                                       bias=False)
+            self.norm2 = gn(mid)
+            self.conv3 = StdConv2dSame(mid, cout, 1, bias=False)
+            self.norm3 = gn(cout, act=False)
+            self.dconv = StdConv2dSame(cin, cout, 1, stride=stride,
+                                       bias=False)
+            self.dnorm = gn(cout, act=False)
+
+        def forward(self, x):
+            sc = self.dnorm(self.dconv(x))
+            h = self.norm1(self.conv1(x))
+            h = self.norm2(self.conv2(h))
+            h = self.norm3(self.conv3(h))
+            return F.relu(h + sc)
+
+    torch.manual_seed(0)
+    twin = Twin().eval()
+    for p in twin.parameters():
+        with torch.no_grad():
+            p.normal_(0, 0.05) if p.ndim > 1 else p.normal_(0, 0.02)
+
+    x = rng.standard_normal((2, 13, 15, cin)).astype(np.float32)
+    with torch.no_grad():
+        ref = twin(torch.from_numpy(
+            x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
+
+    sd = {k: v.detach().numpy() for k, v in twin.state_dict().items()}
+    cv = lambda w: w.transpose(2, 3, 1, 0)
+    params = {
+        "conv1": {"kernel": cv(sd["conv1.weight"])},
+        "norm1": {"gn": {"scale": sd["norm1.0.weight"],
+                         "bias": sd["norm1.0.bias"]}},
+        "conv2": {"kernel": cv(sd["conv2.weight"])},
+        "norm2": {"gn": {"scale": sd["norm2.0.weight"],
+                         "bias": sd["norm2.0.bias"]}},
+        "conv3": {"kernel": cv(sd["conv3.weight"])},
+        "norm3": {"gn": {"scale": sd["norm3.0.weight"],
+                         "bias": sd["norm3.0.bias"]}},
+        "downsample_conv": {"kernel": cv(sd["dconv.weight"])},
+        "downsample_norm": {"gn": {"scale": sd["dnorm.0.weight"],
+                                   "bias": sd["dnorm.0.bias"]}},
+    }
+    blk = ResNetV2Bottleneck(mid, cout, stride)
+    ours = blk.apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=5e-5)

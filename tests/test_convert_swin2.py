@@ -324,3 +324,132 @@ def test_swin2_rejects_indivisible_grids():
     model = SwinV2Backbone(config=cfg)
     with pytest.raises(ValueError, match="not divisible"):
         model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 88, 3)))
+
+
+def _torch_swin_v1_attention(dim, heads, window):
+    """Minimal timm swin_transformer.py V1 WindowAttention twin."""
+    class WA(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.num_heads = heads
+            self.scale = (dim // heads) ** -0.5
+            self.qkv = nn.Linear(dim, 3 * dim, bias=True)
+            self.proj = nn.Linear(dim, dim)
+            self.relative_position_bias_table = nn.Parameter(
+                torch.randn((2 * window - 1) ** 2, heads) * 0.02)
+            coords = torch.stack(torch.meshgrid(
+                torch.arange(window), torch.arange(window),
+                indexing="ij")).flatten(1)
+            rel = coords[:, :, None] - coords[:, None, :]
+            rel = rel.permute(1, 2, 0).contiguous()
+            rel[:, :, 0] += window - 1
+            rel[:, :, 1] += window - 1
+            rel[:, :, 0] *= 2 * window - 1
+            self.register_buffer("rpi", rel.sum(-1))
+
+        def forward(self, x, mask=None):
+            B, N, C = x.shape
+            qkv = self.qkv(x).reshape(B, N, 3, self.num_heads,
+                                      C // self.num_heads)
+            q, k, v = qkv.permute(2, 0, 3, 1, 4).unbind(0)
+            attn = (q @ k.transpose(-2, -1)) * self.scale
+            bias = self.relative_position_bias_table[
+                self.rpi.view(-1)].view(N, N, -1).permute(2, 0, 1)
+            attn = attn + bias.unsqueeze(0)
+            if mask is not None:
+                nW = mask.shape[0]
+                attn = attn.view(B // nW, nW, self.num_heads, N, N)
+                attn = attn + mask.unsqueeze(1).unsqueeze(0)
+                attn = attn.view(-1, self.num_heads, N, N)
+            attn = attn.softmax(dim=-1)
+            x = (attn @ v).transpose(1, 2).reshape(B, N, C)
+            return self.proj(x)
+    return WA()
+
+
+def test_swin_v1_attention_matches_torch(rng):
+    """WindowAttentionV1 vs a timm swin V1 WindowAttention twin, with and
+    without the shifted-window mask."""
+    from riders_tpu.models.swin2 import (WindowAttentionV1, _rel_pos_index,
+                                         _shift_mask)
+
+    dim, heads, window = 32, 4, 4
+    torch.manual_seed(0)
+    twin = _torch_swin_v1_attention(dim, heads, window)
+    twin.eval()
+
+    flax_mod = WindowAttentionV1(dim, heads, window)
+    x = rng.standard_normal((8, window * window, dim)).astype(np.float32)
+    variables = flax_mod.init(jax.random.PRNGKey(0), jnp.asarray(x), None)
+    sd = {k: v.detach().numpy() for k, v in twin.state_dict().items()}
+    params = {
+        "qkv": {"kernel": sd["qkv.weight"].T, "bias": sd["qkv.bias"]},
+        "proj": {"kernel": sd["proj.weight"].T, "bias": sd["proj.bias"]},
+        "rel_pos_bias_table": sd["relative_position_bias_table"],
+    }
+    import flax
+    flax.core.freeze(params)  # structural sanity
+
+    with torch.no_grad():
+        ref = twin(torch.from_numpy(x)).numpy()
+    ours = flax_mod.apply({"params": params}, jnp.asarray(x), None)
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-5)
+
+    mask = _shift_mask(8, 8, window, window // 2)
+    with torch.no_grad():
+        ref = twin(torch.from_numpy(x),
+                   torch.from_numpy(mask)).numpy()
+    ours = flax_mod.apply({"params": params}, jnp.asarray(x), mask)
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-5)
+
+
+def test_swin_v1_converter_structure(rng):
+    """A synthetic timm swin-V1 state dict converts onto the flax template
+    exactly (auto-detected v1 blocks, norm-first merging)."""
+    from riders_tpu.models.convert import (_convert_swin2_backbone,
+                                           check_tree_matches)
+    from riders_tpu.models.swin2 import Swin2Config, SwinV2Backbone
+
+    cfg = Swin2Config(embed_dim=16, depths=(1, 1, 1, 1),
+                      num_heads=(1, 2, 4, 8), window_size=4, version=1)
+    model = SwinV2Backbone(cfg)
+    x = jnp.zeros((1, 64, 64, 3))
+    template = jax.device_get(
+        model.init(jax.random.PRNGKey(0), x))["params"]
+
+    sd = {}
+    p = "pretrained.model."
+    sd[p + "patch_embed.proj.weight"] = np.zeros((16, 3, 4, 4), np.float32)
+    sd[p + "patch_embed.proj.bias"] = np.zeros(16, np.float32)
+    for n in ("patch_embed.norm",):
+        sd[p + n + ".weight"] = np.ones(16, np.float32)
+        sd[p + n + ".bias"] = np.zeros(16, np.float32)
+    for si in range(4):
+        dim = 16 * 2 ** si
+        window = min(4, 16 // 2 ** si)
+        b = p + f"layers.{si}.blocks.0."
+        for n in ("norm1", "norm2"):
+            sd[b + n + ".weight"] = np.ones(dim, np.float32)
+            sd[b + n + ".bias"] = np.zeros(dim, np.float32)
+        sd[b + "attn.qkv.weight"] = np.zeros((3 * dim, dim), np.float32)
+        sd[b + "attn.qkv.bias"] = np.zeros(3 * dim, np.float32)
+        sd[b + "attn.relative_position_bias_table"] = np.zeros(
+            ((2 * window - 1) ** 2, 16 * 2 ** si // 16), np.float32)
+        sd[b + "attn.relative_position_bias_table"] = np.zeros(
+            ((2 * window - 1) ** 2, cfg.num_heads[si]), np.float32)
+        sd[b + "attn.proj.weight"] = np.zeros((dim, dim), np.float32)
+        sd[b + "attn.proj.bias"] = np.zeros(dim, np.float32)
+        sd[b + "mlp.fc1.weight"] = np.zeros((4 * dim, dim), np.float32)
+        sd[b + "mlp.fc1.bias"] = np.zeros(4 * dim, np.float32)
+        sd[b + "mlp.fc2.weight"] = np.zeros((dim, 4 * dim), np.float32)
+        sd[b + "mlp.fc2.bias"] = np.zeros(dim, np.float32)
+        if si < 3:
+            sd[p + f"layers.{si}.downsample.reduction.weight"] = np.zeros(
+                (2 * dim, 4 * dim), np.float32)
+            sd[p + f"layers.{si}.downsample.norm.weight"] = np.ones(
+                4 * dim, np.float32)
+            sd[p + f"layers.{si}.downsample.norm.bias"] = np.zeros(
+                4 * dim, np.float32)
+    converted = _convert_swin2_backbone(sd, p)
+    problems = check_tree_matches(converted, template)
+    assert not problems, problems[:8]

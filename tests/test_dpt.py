@@ -91,3 +91,69 @@ def test_beit_rel_pos_index_properties():
     assert len(set(np.diag(idx)[1:])) == 1
     assert idx.max() == num_rel + 2
     assert idx[1:, 1:].max() < num_rel
+
+
+def test_swin_v1_backbone_forward(rng):
+    """Swin V1 (swinl12_384 semantics): pre-norm blocks, learned rel-pos
+    tables, norm-first patch merging - tiny plan forward."""
+    from riders_tpu.models.swin2 import Swin2Config, SwinV2Backbone
+
+    cfg = Swin2Config(embed_dim=16, depths=(1, 2, 1, 1),
+                      num_heads=(1, 2, 4, 8), window_size=4, version=1)
+    model = SwinV2Backbone(cfg)
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    taps = model.apply(variables, x)
+    assert [t.shape for t in taps] == [
+        (1, 16, 16, 16), (1, 8, 8, 32), (1, 4, 4, 64), (1, 2, 2, 128)]
+    assert all(np.isfinite(np.asarray(t)).all() for t in taps)
+    # v1 parameter structure: learned tables + full qkv bias, no cpb/logit
+    blk = variables["params"]["stage0_block0"]["attn"]
+    assert "rel_pos_bias_table" in blk and "qkv" in blk
+    assert "logit_scale" not in blk and "cpb_fc1" not in blk
+
+
+def test_dpt_hybrid_forward(rng):
+    """dpt_hybrid (vitb_rn50_384): ResNetV2 taps at /4 and /8, token
+    hooks at /16 and /32; full pyramid through the scratch."""
+    import dataclasses as _dc
+
+    from riders_tpu.models.dpt import (DPTConfig, DPTScaleMapLearner,
+                                       HybridViTBackbone, ResNetV2Stages)
+
+    cfg = DPTConfig(net_shape=(96, 96), backbone="vit_hybrid",
+                    embed_dim=64, depth=2, num_heads=2,
+                    hooks=(0, 1, 0, 1),
+                    reassemble_channels=(256, 512, 64, 64),
+                    pretrained_grid=6)
+
+    x = jnp.asarray(rng.standard_normal((1, 96, 96, 3)).astype(np.float32))
+    bb = HybridViTBackbone(cfg)
+    variables = bb.init(jax.random.PRNGKey(0), x)
+    (f4, f8), taps, grid = bb.apply(variables, x)
+    assert f4.shape == (1, 24, 24, 256)
+    assert f8.shape == (1, 12, 12, 512)
+    assert grid == (6, 6) and len(taps) == 2
+    assert taps[0].shape == (1, 37, 64)
+
+    model = DPTScaleMapLearner(config=cfg)
+    d = jnp.asarray((rng.random((1, 96, 96, 1)) * 20).astype(np.float32))
+    mv = model.init(jax.random.PRNGKey(1), x, d)
+    pred, scales = model.apply(mv, x, d)
+    assert pred.shape == (1, 96, 96, 1)
+    assert np.isfinite(np.asarray(pred)).all()
+
+
+def test_factory_builds_every_dpt_family():
+    """Every DPT_FAMILIES row (plus dpt-hybrid) must build a module."""
+    import dataclasses as _dc
+
+    from riders_tpu.core.config import zju_config
+    from riders_tpu.models.factory import DPT_FAMILIES, build_sml_model
+
+    cfg = zju_config()
+    for model_type in list(DPT_FAMILIES) + ["dpt-hybrid"]:
+        mcfg = cfg.replace(sml=_dc.replace(cfg.sml, model_type=model_type,
+                                           net_shape=(384, 384)))
+        model = build_sml_model(mcfg)
+        assert model is not None, model_type
