@@ -60,6 +60,14 @@ class AlignmentConfig:
     # Input-depth validity window (val_zju.py:374-375, train_zju.py:476-477).
     min_depth: float = 0.0
     max_depth: float = 100.0
+    # Static upper bound on valid alignment-target pixels per frame.  The
+    # fused pipeline satisfies it by construction (radar points scatter
+    # from the <=max_points bucket) and the input pipeline enforces it
+    # host-side on loaded radar maps; it lets the on-device L1 solve run
+    # on a gathered pixel bucket instead of the full frame (ops/alignment.
+    # optimize_scale).  Set to None to force the exact dense objective for
+    # dense alignment targets (e.g. a lidar-aligned variant).
+    max_valid_pixels: Optional[int] = 512
 
 
 @dataclasses.dataclass(frozen=True)
@@ -118,6 +126,10 @@ class RCNetConfig:
     response_threshold: float = 0.1                 # NTU: 0.4
     threshold_decay: float = 0.05                   # adaptive retry step
     max_threshold_retries: int = 8
+    # Apply the reference's adaptive threshold decay in the FUSED pipeline
+    # too (closed form, ops/patches.adaptive_threshold_value - no loop
+    # cost).  The staged pipeline always applies it.
+    adaptive_composition: bool = True
     normalized_image_range: Tuple[float, float] = (0.0, 1.0)
 
     @property

@@ -120,6 +120,17 @@ class SMLFrameDataset:
             radar = depthio.scatter_points_to_map(pts, mono_pred.shape)
         else:
             radar = depthio.load_depth(rec.radar)
+        # Host-side sparsity contract: the on-device alignment solve
+        # gathers valid radar pixels into a fixed bucket
+        # (AlignmentConfig.max_valid_pixels); a denser map would silently
+        # truncate there, so fail loudly at load time instead.
+        bound = cfg.alignment.max_valid_pixels
+        if bound is not None and np.count_nonzero(radar) > bound:
+            raise ValueError(
+                f"radar map {rec.radar!r} has {np.count_nonzero(radar)} "
+                f"nonzero pixels > alignment.max_valid_pixels={bound}; "
+                "set alignment.max_valid_pixels=None (dense objective) "
+                "for dense alignment targets")
         gt_interp = depthio.load_depth(rec.gt_interp)
         gt_sparse = depthio.load_depth(rec.gt_sparse)
 
