@@ -304,6 +304,33 @@ def compose_patches_batched(responses: jnp.ndarray,
                 responses, points, point_mask)
 
 
+def adaptive_threshold_value(responses: jnp.ndarray,
+                             point_mask: jnp.ndarray,
+                             response_threshold: float,
+                             threshold_decay: float = 0.05,
+                             max_retries: int = 8) -> jnp.ndarray:
+    """Closed form of the adaptive threshold-decay retry
+    (run_rcnet_zju.py:254-264) - no loop needed on device.
+
+    The retry loop lowers the threshold by `threshold_decay` while the
+    composed depth is all zero; the depth is all zero iff no masked
+    response reaches the threshold, so the final threshold is
+    thr0 - k*decay with k = ceil((thr0 - max_response)/decay) clamped to
+    [0, max_retries].  One composition at this threshold reproduces the
+    loop's output exactly (bounded-retry semantics included: if even
+    max_retries decays cannot reach max_response, the output stays zero).
+
+    responses: (.., K, ph, pw); point_mask: (.., K).  Returns a scalar (or
+    batch vector) threshold usable with `compose_patches_batched`.
+    """
+    masked = responses * point_mask[..., None, None]
+    m = jnp.max(masked, axis=(-3, -2, -1))
+    k = jnp.ceil((response_threshold - m) / threshold_decay)
+    k = jnp.clip(k, 0, max_retries)
+    return jnp.float32(response_threshold) - k.astype(jnp.float32) \
+        * threshold_decay
+
+
 def adaptive_compose(responses: jnp.ndarray,
                      points: jnp.ndarray,
                      point_mask: jnp.ndarray,

@@ -14,10 +14,12 @@ files (run_rcnet_zju.py then val_zju.py, SURVEY.md 1 "file-bus"); fusing
 removes the filesystem, the host loops and every intermediate
 quantization.
 
-Note the fused path uses fixed-threshold composition (`compose_patches`);
-the adaptive retry variant is available in the staged pipeline
-(rcnet_inference.py) where frames with empty output re-compose at a decayed
-threshold.
+The fused path applies the reference's adaptive threshold decay
+(run_rcnet_zju.py:254-264) in closed form - the per-frame effective
+threshold is computed from the masked response maximum
+(ops/patches.adaptive_threshold_value), so one composition reproduces the
+retry loop exactly with no loop cost.  `rcnet.adaptive_composition=False`
+restores the fixed threshold.
 """
 
 from __future__ import annotations
@@ -30,7 +32,8 @@ import jax.numpy as jnp
 from riders_tpu.core.config import RidersConfig
 from riders_tpu.models.rcnet import RCNet
 from riders_tpu.models.sml import ScaleMapLearner
-from riders_tpu.ops.patches import compose_patches_batched
+from riders_tpu.ops.patches import (adaptive_threshold_value,
+                                    compose_patches_batched)
 from riders_tpu.ops.resize import resize2d
 from riders_tpu.pipelines.rcnet_inference import shift_points_and_boxes
 from riders_tpu.pipelines.sml_inference import prepare_sml_inputs
@@ -63,9 +66,17 @@ def make_fused_fn(cfg: RidersConfig, rcnet: RCNet, sml: ScaleMapLearner):
             batch["point_mask"], train=False,
             return_logits=False)[..., 0].astype(jnp.float32)
 
+        if cfg.rcnet.adaptive_composition:
+            # Reference adaptive retry (run_rcnet_zju.py:254-264) in
+            # closed form: per-frame effective thresholds, one compose.
+            thr = adaptive_threshold_value(
+                responses, batch["point_mask"],
+                cfg.rcnet.response_threshold, cfg.rcnet.threshold_decay,
+                cfg.rcnet.max_threshold_retries)
+        else:
+            thr = cfg.rcnet.response_threshold
         quasi_depth, _ = compose_patches_batched(
-            responses, points, batch["point_mask"], (H, W), patch,
-            cfg.rcnet.response_threshold)
+            responses, points, batch["point_mask"], (H, W), patch, thr)
 
         # Scatter the raw radar returns onto the frame grid for the
         # alignment target (the quasi-dense map already contains them, but

@@ -87,3 +87,70 @@ def test_fused_pipeline_end_to_end(rng):
     assert first.shape == (B, H, W)
     gen.close()
     assert threading.active_count() == n_before
+
+
+def test_adaptive_threshold_closed_form_matches_loop(rng):
+    """adaptive_threshold_value + one compose must equal the bounded
+    retry loop (run_rcnet_zju.py:254-264) for rich, sparse and empty
+    response patterns."""
+    from riders_tpu.ops.patches import (adaptive_compose,
+                                        adaptive_threshold_value,
+                                        compose_patches)
+
+    img, patch = (64, 80), (24, 16)
+    K = 5
+    pts = np.stack([rng.integers(8, 88, K), rng.integers(12, 76, K),
+                    rng.random(K) * 40 + 2], -1).astype(np.float32)
+    mask = np.ones(K, np.float32)
+    cases = [
+        rng.random((K, *patch)).astype(np.float32),          # rich
+        rng.random((K, *patch)).astype(np.float32) * 0.26,   # needs decay
+        np.zeros((K, *patch), np.float32),                   # empty
+        np.full((K, *patch), 0.08, np.float32),              # deep decay
+    ]
+    for resp in cases:
+        d_loop, r_loop, thr_loop = adaptive_compose(
+            jnp.asarray(resp), jnp.asarray(pts), jnp.asarray(mask),
+            img, patch, 0.4, 0.05, 8)
+        thr = adaptive_threshold_value(jnp.asarray(resp), jnp.asarray(mask),
+                                       0.4, 0.05, 8)
+        d_one, r_one = compose_patches(
+            jnp.asarray(resp), jnp.asarray(pts), jnp.asarray(mask),
+            img, patch, thr)
+        np.testing.assert_allclose(float(thr), float(thr_loop), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(d_one), np.asarray(d_loop),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(r_one), np.asarray(r_loop),
+                                   atol=1e-6)
+
+
+def test_fused_server_streams_in_order(rng):
+    """FusedServer must yield every batch's result in order, and join its
+    uploader thread on early abandonment."""
+    import threading
+
+    from riders_tpu.pipelines.serving import FusedServer
+
+    @jax.jit
+    def fake_fused(rc_vars, sml_vars, batch):
+        return batch["x"] * rc_vars["scale"] + sml_vars["shift"]
+
+    rc_vars = {"scale": jnp.float32(2.0)}
+    sml_vars = {"shift": jnp.float32(1.0)}
+    batches = [{"x": np.full((4, 8), float(i), np.float32)}
+               for i in range(7)]
+
+    server = FusedServer(fake_fused, rc_vars, sml_vars, depth=2)
+    outs = list(server.run(iter(batches)))
+    assert len(outs) == 7
+    for i, o in enumerate(outs):
+        np.testing.assert_allclose(o, 2.0 * i + 1.0)
+
+    # Early abandonment: take one result, close the generator; no thread
+    # leak.
+    n0 = threading.active_count()
+    gen = server.run(iter(batches))
+    first = next(gen)
+    np.testing.assert_allclose(first, 1.0)
+    gen.close()
+    assert threading.active_count() <= n0 + 1
