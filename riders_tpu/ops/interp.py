@@ -144,6 +144,27 @@ def idw_scale_map(int_depth_inv: jnp.ndarray,
                      jnp.ones_like(int_depth_inv))
 
 
+def exact_scale_map(int_depth_inv: jnp.ndarray,
+                    sparse_inv: jnp.ndarray,
+                    valid: jnp.ndarray) -> jnp.ndarray:
+    """Host-exact Interpolator2D (scipy griddata) inside a jitted program
+    via pure_callback - the `interp-exact` scale-map mode.
+
+    Bit-matches the reference's modules/interpolator.py:20-50 semantics
+    (Qhull Delaunay, linear barycentric, ones outside the hull) at the
+    cost of a host round-trip per frame; `idw_scale_map` is the
+    device-resident approximation (PARITY.md records the metric deltas
+    between the two on the synthetic val protocol)."""
+
+    def host(d, s, v):
+        return interpolate_scale_knots(
+            np.asarray(d), np.asarray(s), np.asarray(v))
+
+    return jax.pure_callback(
+        host, jax.ShapeDtypeStruct(int_depth_inv.shape, jnp.float32),
+        int_depth_inv, sparse_inv, valid, vmap_method="sequential")
+
+
 def idw_interpolate(points_uv: jnp.ndarray,
                     points_val: jnp.ndarray,
                     point_mask: jnp.ndarray,

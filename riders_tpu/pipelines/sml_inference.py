@@ -57,15 +57,22 @@ def prepare_sml_inputs(cfg: RidersConfig,
         mono_pred, radar_inv, radar_valid,
         mode=a.mode, mono_type=a.mono_type,
         bounds_inv=a.bounds_inv, bounds_pos=a.bounds_pos,
-        iterations=a.iterations, min_pred=a.min_pred, max_pred=a.max_pred)
+        iterations=a.iterations, min_pred=a.min_pred, max_pred=a.max_pred,
+        max_valid=a.max_valid_pixels)
 
     if rcnet is not None:
         rcnet_inv, rcnet_valid = alignment.validity_and_inverse(
             rcnet, a.min_depth, a.max_depth)
         scales = scale_map.synthesize_scale_map(
             int_depth, radar_inv, radar_valid, rcnet_inv, rcnet_valid)
-    elif cfg.sml_train.rcnet_interp == "interp":
-        dense = interp_ops.idw_scale_map(int_depth, radar_inv, radar_valid)
+    elif cfg.sml_train.rcnet_interp in ("interp", "interp-exact"):
+        if cfg.sml_train.rcnet_interp == "interp-exact":
+            # Host-exact griddata via pure_callback (correctness mode).
+            dense = interp_ops.exact_scale_map(int_depth, radar_inv,
+                                               radar_valid)
+        else:
+            dense = interp_ops.idw_scale_map(int_depth, radar_inv,
+                                             radar_valid)
         # Raw radar knots overwrite their own pixels exactly, as the rcnet
         # path does (val_zju.py:173-175); then unit-range normalize.
         scales = jnp.where(radar_valid.astype(bool),

@@ -1,0 +1,104 @@
+"""Shared PARITY.md assembly: parity tests dump JSON fragments and any of
+them re-renders the document, so sections survive partial reruns."""
+
+import json
+import os
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FRAG_DIR = os.path.join(REPO_ROOT, ".parity_fragments")
+
+METRIC_KEYS = ("mae", "rmse", "imae", "irmse", "abs_rel", "sq_rel",
+               "delta1")
+BUDGET = 0.01
+
+
+def write_fragment(name: str, payload: dict) -> None:
+    os.makedirs(FRAG_DIR, exist_ok=True)
+    with open(os.path.join(FRAG_DIR, name + ".json"), "w") as f:
+        json.dump(payload, f, indent=1)
+    assemble_parity_md()
+
+
+def _load(name):
+    path = os.path.join(FRAG_DIR, name + ".json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return None
+
+
+def assemble_parity_md() -> None:
+    main = _load("main")
+    interp = _load("interp")
+
+    lines = [
+        "# PARITY - riders_tpu vs PyTorch reference",
+        "",
+        "End-to-end validation parity on the synthetic mini-scenes "
+        "(tests/test_reference_parity.py).  Both sides run their FULL "
+        "validation protocol - the reference's val_zju.validate "
+        "(its own Optimizer/transforms/model/eval_utils, with a local "
+        "fp32-exact efficientnet-lite3 twin standing in for the "
+        "torch.hub download) and the riders_tpu fused jitted pipeline - "
+        "with identical converted weights.",
+        "",
+    ]
+    if main:
+        ref, riders, rel = main["ref"], main["riders"], main["rel"]
+        lines += [
+            "| metric | reference | riders_tpu | rel. deviation | budget |",
+            "|---|---|---|---|---|",
+        ]
+        for k in METRIC_KEYS:
+            lines.append(f"| {k} | {ref[k]:.6f} | {riders[k]:.6f} | "
+                         f"{rel[k] * 100:.4f}% | 1% |")
+        lines += [
+            "",
+            f"All 7 metrics within the 1% budget: "
+            f"**{all(rel[k] <= BUDGET for k in METRIC_KEYS)}**.",
+            "",
+        ]
+    lines += [
+        "Stage-1 intermediates (full-res, one frame): see "
+        "test_stage1_intermediate_parity - max|int_depth diff| and "
+        "max|int_scales diff| asserted < 2e-3.",
+        "",
+        "Stage-2 (RC-Net quasi-dense generation): see "
+        "test_rcnet_stage2_parity - the reference's own "
+        "rcnet_main.forward_output (networks.py RCNetEncoder/decoder, "
+        "torchvision-exact roi_pool) vs the riders jitted stage-2 "
+        "pipeline with converted weights agrees on the nonzero support "
+        "exactly and on depth/response values at rtol 1e-4.",
+        "",
+    ]
+    if interp:
+        lines += [
+            "## 'interp' scale-map mode: device IDW vs host-exact griddata",
+            "",
+            "The non-RCNet `interp` mode densifies radar scale knots; the "
+            "device path is an IDW approximation of the reference's "
+            "Qhull/griddata Interpolator2D (modules/interpolator.py:20-50)."
+            "  Metric deltas of the FULL val protocol on the synthetic "
+            "mini-scenes, device IDW (`rcnet_interp='interp'`) vs the "
+            "host-exact option (`'interp-exact'`, scipy griddata via "
+            "pure_callback - available in validate_sml):",
+            "",
+            "| metric | interp (IDW) | interp-exact (griddata) | rel. delta |",
+            "|---|---|---|---|",
+        ]
+        for k in METRIC_KEYS:
+            a, b = interp["idw"][k], interp["exact"][k]
+            rel = abs(a - b) / max(abs(b), 1e-9)
+            lines.append(f"| {k} | {a:.6f} | {b:.6f} | {rel * 100:.4f}% |")
+        lines += [
+            "",
+            f"Max relative delta: {interp['max_rel'] * 100:.4f}% "
+            "(tests/test_drivers.py::test_validate_sml_interp_modes).",
+            "",
+        ]
+    lines += [
+        "Regenerate: `python -m pytest tests/test_reference_parity.py "
+        "tests/test_drivers.py::test_validate_sml_interp_modes -q --slow`.",
+    ]
+    with open(os.path.join(REPO_ROOT, "PARITY.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")

@@ -308,43 +308,8 @@ def _run_riders_validation(cfg, variables, scenes):
 
 
 def _write_parity_md(ref, riders, rel):
-    lines = [
-        "# PARITY - riders_tpu vs PyTorch reference",
-        "",
-        "End-to-end validation parity on the synthetic mini-scenes "
-        "(tests/test_reference_parity.py).  Both sides run their FULL "
-        "validation protocol - the reference's val_zju.validate "
-        "(its own Optimizer/transforms/model/eval_utils, with a local "
-        "fp32-exact efficientnet-lite3 twin standing in for the "
-        "torch.hub download) and the riders_tpu fused jitted pipeline - "
-        "with identical converted weights.",
-        "",
-        "| metric | reference | riders_tpu | rel. deviation | budget |",
-        "|---|---|---|---|---|",
-    ]
-    for k in METRIC_KEYS:
-        lines.append(f"| {k} | {ref[k]:.6f} | {riders[k]:.6f} | "
-                     f"{rel[k] * 100:.4f}% | 1% |")
-    lines += [
-        "",
-        f"All 7 metrics within the 1% budget: "
-        f"**{all(rel[k] <= BUDGET for k in METRIC_KEYS)}**.",
-        "",
-        "Stage-1 intermediates (full-res, one frame): see "
-        "test_stage1_intermediate_parity - max|int_depth diff| and "
-        "max|int_scales diff| asserted < 2e-3.",
-        "",
-        "Stage-2 (RC-Net quasi-dense generation): see "
-        "test_rcnet_stage2_parity - the reference's own "
-        "rcnet_main.forward_output (networks.py RCNetEncoder/decoder, "
-        "torchvision-exact roi_pool) vs the riders jitted stage-2 "
-        "pipeline with converted weights agrees on the nonzero support "
-        "exactly and on depth/response values at rtol 1e-4.",
-        "",
-        "Regenerate: `python -m pytest tests/test_reference_parity.py -q`.",
-    ]
-    with open(os.path.join(REPO_ROOT, "PARITY.md"), "w") as f:
-        f.write("\n".join(lines) + "\n")
+    from parity_common import write_fragment
+    write_fragment("main", {"ref": ref, "riders": riders, "rel": rel})
 
 
 def test_stage1_intermediate_parity(reference_env, mini_root):
@@ -462,17 +427,188 @@ def rcnet_env(reference_env):
     return rcnet_main
 
 
+def _build_reference_rcnet(cfg, seed=3, train=False):
+    """The reference's own RCNetModel at the mini geometry, with perturbed
+    BN statistics so folding/stat semantics are exercised."""
+    import torch
+    import torch.nn as nn
+
+    from rcnet_model import RCNetModel
+
+    rc = cfg.rcnet
+    torch.manual_seed(seed)
+    ref = RCNetModel(
+        input_channels_image=3, input_channels_depth=3,
+        input_patch_size_image=list(rc.patch_size),
+        encoder_type=["rcnet", "batch_norm"],
+        n_filters_encoder_image=list(rc.n_filters_encoder_image),
+        n_neurons_encoder_depth=list(rc.n_neurons_encoder_depth),
+        decoder_type=["multiscale", "batch_norm"],
+        n_filters_decoder=list(rc.n_filters_decoder),
+        weight_initializer="kaiming_uniform",
+        activation_func="leaky_relu", device=torch.device("cpu"))
+    for module in (ref.encoder, ref.decoder):
+        module.train(train)
+        with torch.no_grad():
+            for m in module.modules():
+                if isinstance(m, nn.BatchNorm2d):
+                    m.running_mean.normal_(0, 0.1)
+                    m.running_var.uniform_(0.5, 2.0)
+                    m.weight.normal_(1.0, 0.1)
+                    m.bias.normal_(0, 0.1)
+    return ref
+
+
+def _rcnet_state_dict(ref):
+    sd = {}
+    for prefix, module in (("encoder.", ref.encoder),
+                           ("decoder.", ref.decoder)):
+        for k, v in module.state_dict().items():
+            sd[prefix + k] = np.asarray(v.detach().numpy())
+    return sd
+
+
+def test_rcnet_train_step_parity(rcnet_env, mini_root):
+    """Round-2 VERDICT weak #5(b): the TRAINING-step semantics - label
+    synthesis (rcnet_main.py:304-332), train-mode BN forward, and the
+    positive-class-weighted masked BCE (rcnet_model.py:125-166) - must
+    produce the same loss and the same gradients as the reference on one
+    batch with identical converted weights."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from riders_tpu.models import convert
+    from riders_tpu.models.rcnet import RCNet
+    from riders_tpu.ops.losses import weighted_bce_with_logits
+    from riders_tpu.pipelines.rcnet_training import synthesize_labels
+
+    cfg = _mini_cfg(mini_root)
+    rc, t = cfg.rcnet, cfg.rcnet_train
+    ph, pw = rc.patch_size
+    pad_y, pad_x = ph // 2, pw // 2
+    H, W = cfg.dataset.image_shape
+    Hp, Wp = H + ph, W + pw
+    B, K = 2, 3
+
+    ref = _build_reference_rcnet(cfg, seed=7, train=True)
+
+    rng = np.random.default_rng(23)
+    image = rng.random((B, Hp, Wp, 3)).astype(np.float32)
+    # Points in padded coordinates, boxes fully inside the padded frame.
+    pts = np.stack([
+        rng.integers(pad_x, W + pad_x, (B, K)),
+        rng.integers(pad_y, H + pad_y, (B, K)),
+        rng.random((B, K)) * 40 + 3], axis=2).astype(np.float32)
+    boxes = np.stack([pts[..., 0] - pad_x, pts[..., 1] - pad_y,
+                      pts[..., 0] + pad_x, pts[..., 1] + pad_y],
+                     axis=2).astype(np.float32)
+    # GT depth crops: mostly valid, some holes, values straddling the
+    # correspondence distance around each point's depth.
+    gt = (pts[..., 2][:, :, None, None]
+          + rng.normal(0, 1.0, (B, K, ph, pw))).astype(np.float32)
+    gt[rng.random((B, K, ph, pw)) < 0.25] = 0.0
+
+    # ---- reference: rcnet_main.py:282-350 verbatim semantics ----
+    im_t = torch.from_numpy(image).permute(0, 3, 1, 2)
+    pts_t = torch.from_numpy(pts.reshape(B * K, 3))
+    boxes_t = [torch.from_numpy(boxes[b]) for b in range(B)]
+    gt_t = torch.from_numpy(gt.reshape(B * K, 1, ph, pw))
+    z = pts_t[..., 2].view(B * K, 1, 1, 1)
+    dist = torch.abs(gt_t - z * torch.ones_like(gt_t))
+    label_t = torch.where(dist < t.max_distance_correspondence,
+                          torch.ones_like(gt_t), torch.zeros_like(gt_t))
+    label_t = torch.where(gt_t > 0, label_t, torch.zeros_like(label_t))
+    validity_t = torch.where(gt_t <= 0, torch.zeros_like(gt_t),
+                             torch.ones_like(gt_t))
+
+    logits_t = ref.forward(im_t, pts_t, boxes_t, return_logits=True)
+    ref_loss, _ = ref.compute_loss(
+        logits=logits_t, ground_truth=label_t.float(),
+        validity_map=validity_t, w_positive_class=t.w_positive_class)
+    ref_loss.backward()
+    ref_grads = {}
+    for prefix, module in (("encoder.", ref.encoder),
+                           ("decoder.", ref.decoder)):
+        for k, v in module.named_parameters():
+            # Unreached params (e.g. the decoder's unused extra-resolution
+            # output convs) get no grad in torch; their riders twin must
+            # then also have a zero gradient.
+            ref_grads[prefix + k] = (
+                np.zeros(v.shape, np.float32) if v.grad is None
+                else np.asarray(v.grad.detach().numpy()))
+
+    # ---- riders: the train-step loss_fn with converted weights ----
+    sd = _rcnet_state_dict(ref)
+    variables = convert.convert_rcnet_state_dict(sd)
+    model = RCNet(config=rc)
+    batch = {
+        "image": jnp.asarray(image), "points": jnp.asarray(pts),
+        "boxes": jnp.asarray(boxes),
+        "gt_crops": jnp.asarray(gt)[..., None],
+        "point_mask": jnp.ones((B, K), np.float32),
+    }
+
+    def loss_fn(params):
+        logits = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            batch["image"], batch["points"], batch["boxes"],
+            batch["point_mask"], train=True, return_logits=True,
+            mutable=["batch_stats"])[0]
+        labels, validity = synthesize_labels(
+            batch["gt_crops"], batch["points"][..., 2],
+            t.max_distance_correspondence,
+            t.set_invalid_to_negative_class)
+        return weighted_bce_with_logits(logits, labels, validity,
+                                        t.w_positive_class)
+
+    # XLA's CPU convolutions go through a reduced-precision oneDNN path
+    # (~1e-3 relative); force full fp32 accumulation for the comparison.
+    with jax.default_matmul_precision("highest"):
+        loss, grads = jax.jit(jax.value_and_grad(loss_fn))(
+            variables["params"])
+    np.testing.assert_allclose(float(loss), float(ref_loss.detach()),
+                               rtol=1e-5)
+
+    # Map the torch grads through the SAME converter (its kernel
+    # transposes/reshapes are linear, so they transform gradients too);
+    # running stats carry no grads - feed zeros to satisfy the key map.
+    grad_sd = {k: ref_grads.get(k, np.zeros_like(v))
+               for k, v in sd.items()}
+    ref_grad_tree = convert.convert_rcnet_state_dict(grad_sd)["params"]
+
+    flat_ours = jax.tree_util.tree_leaves_with_path(grads)
+    flat_ref = dict(jax.tree_util.tree_leaves_with_path(ref_grad_tree))
+    assert len(flat_ours) == len(flat_ref)
+    gmax = max(float(np.abs(np.asarray(r)).max())
+               for r in flat_ref.values())
+    for path, g in flat_ours:
+        r = np.asarray(flat_ref[path], np.float64).ravel()
+        g = np.asarray(g, np.float64).ravel()
+        rn, gn = np.linalg.norm(r), np.linalg.norm(g)
+        if rn < 1e-6 * gmax:
+            # eps-suppressed leaves: the encoder's attention runs on
+            # single-token streams (L=S=1), where linear attention's
+            # normalization cancels the q/k contribution up to its 1e-6
+            # eps - the true q/k-projection gradients are numerical
+            # noise.  Require ours to be equally negligible.
+            assert gn < 1e-5 * gmax, (path, rn, gn, gmax)
+            continue
+        cos = float(np.dot(r, g) / (rn * gn))
+        rel = float(np.linalg.norm(r - g) / rn)
+        assert cos > 0.9999, (path, cos)
+        assert rel < 5e-3, (path, rel)
+
+
 def test_rcnet_stage2_parity(rcnet_env, mini_root):
     """forward_output (rcnet_main.py:435-487) on the reference's own
     networks vs the riders jitted inference - same random weights via
     convert_rcnet_state_dict, same frame/points - must produce the same
     quasi-dense depth and response maps."""
     import torch
-    import torch.nn as nn
 
     import jax
-
-    from rcnet_model import RCNetModel
 
     from riders_tpu.models import convert
     from riders_tpu.models.rcnet import RCNet
@@ -484,27 +620,7 @@ def test_rcnet_stage2_parity(rcnet_env, mini_root):
     cfg = _mini_cfg(mini_root)
     rc = cfg.rcnet
     device = torch.device("cpu")
-
-    torch.manual_seed(3)
-    ref = RCNetModel(
-        input_channels_image=3, input_channels_depth=3,
-        input_patch_size_image=list(rc.patch_size),
-        encoder_type=["rcnet", "batch_norm"],
-        n_filters_encoder_image=list(rc.n_filters_encoder_image),
-        n_neurons_encoder_depth=list(rc.n_neurons_encoder_depth),
-        decoder_type=["multiscale", "batch_norm"],
-        n_filters_decoder=list(rc.n_filters_decoder),
-        weight_initializer="kaiming_uniform",
-        activation_func="leaky_relu", device=device)
-    for module in (ref.encoder, ref.decoder):
-        module.eval()
-        with torch.no_grad():
-            for m in module.modules():
-                if isinstance(m, nn.BatchNorm2d):
-                    m.running_mean.normal_(0, 0.1)
-                    m.running_var.uniform_(0.5, 2.0)
-                    m.weight.normal_(1.0, 0.1)
-                    m.bias.normal_(0, 0.1)
+    ref = _build_reference_rcnet(cfg, seed=3, train=False)
 
     H, W = cfg.dataset.image_shape
     ph, pw = rc.patch_size
@@ -534,12 +650,7 @@ def test_rcnet_stage2_parity(rcnet_env, mini_root):
     ref_resp = ref_resp[0].numpy()
 
     # ---- riders: converted weights through the jitted pipeline ----
-    sd = {}
-    for prefix, module in (("encoder.", ref.encoder),
-                           ("decoder.", ref.decoder)):
-        for k, v in module.state_dict().items():
-            sd[prefix + k] = np.asarray(v.detach().numpy())
-    variables = convert.convert_rcnet_state_dict(sd)
+    variables = convert.convert_rcnet_state_dict(_rcnet_state_dict(ref))
 
     model = RCNet(config=dataclasses.replace(rc, response_threshold=thr))
     batch = {
