@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Any, Callable, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -201,6 +202,59 @@ _M_NEAREST2 = (
 )
 
 
+def nearest2x_phase_kernel(k: jnp.ndarray) -> jnp.ndarray:
+    """Compose nearest-x2 upsample + 3x3 conv into one conv whose output is
+    the PHASE tensor: conv(x, out)[i, j, (py,px,f)] = conv3x3(up2(x))[2i+py,
+    2j+px, f].  (The UpConvBlock fast path's keff, factored for reuse.)"""
+    return jnp.concatenate(
+        [jnp.einsum("ja,abio,lb->jlio", jnp.asarray(_M_NEAREST2[py]), k,
+                    jnp.asarray(_M_NEAREST2[px]))
+         for py in range(2) for px in range(2)], axis=-1)
+
+
+def phase_compose_3x3(k: jnp.ndarray) -> jnp.ndarray:
+    """Compose depth-to-space(2x) + zero-padded 3x3 conv into a 3x3 conv on
+    the phase tensor.
+
+    Given z[i, j, (ry,rx,c)] = y[2i+ry, 2j+rx, c] (phase-major channel
+    blocks as produced by `nearest2x_phase_kernel`), returns K2 of shape
+    (3, 3, 4C, 4F) with conv(z, K2)[i, j, (py,px,f)] = conv3x3(y, k)[2i+py,
+    2j+px, f] EXACTLY: a fine tap 2i+py+dy lands on coarse cell i+qy phase
+    ry where (qy, ry) = divmod(py+dy, 2), and the coarse conv's zero
+    padding represents exactly the fine conv's zero-pad ring, so no border
+    correction is needed (unlike the bilinear head composition).  Lets the
+    decoder's full-resolution tail run at quarter spatial size with no
+    depth-to-space relayout (PERF.md round 3)."""
+    C, F = int(k.shape[2]), int(k.shape[3])
+    k2 = jnp.zeros((3, 3, 4 * C, 4 * F), k.dtype)
+    for py in (0, 1):
+        for px in (0, 1):
+            for ry in (0, 1):
+                for rx in (0, 1):
+                    for qy in (-1, 0, 1):
+                        dy = 2 * qy + ry - py
+                        if not -1 <= dy <= 1:
+                            continue
+                        for qx in (-1, 0, 1):
+                            dx = 2 * qx + rx - px
+                            if not -1 <= dx <= 1:
+                                continue
+                            blk_i = (ry * 2 + rx) * C
+                            blk_o = (py * 2 + px) * F
+                            k2 = k2.at[qy + 1, qx + 1,
+                                       blk_i:blk_i + C,
+                                       blk_o:blk_o + F].set(k[dy + 1, dx + 1])
+    return k2
+
+
+def depth_to_space2(z: jnp.ndarray, features: int) -> jnp.ndarray:
+    """(.., h, w, 4F) phase-major -> (.., 2h, 2w, F)."""
+    h, w = z.shape[-3], z.shape[-2]
+    z = z.reshape(z.shape[:-1] + (2, 2, features))
+    z = jnp.moveaxis(z, (-3, -2), (-4, -2))
+    return z.reshape(z.shape[:-5] + (2 * h, 2 * w, features))
+
+
 class UpConvBlock(nn.Module):
     """Nearest-upsample to `shape` then conv (net_utils.py:156-198).
 
@@ -241,10 +295,7 @@ class UpConvBlock(nn.Module):
 
         params = self.variables["params"]["conv"]
         k = params["conv"]["kernel"].astype(jnp.float32)   # (3, 3, C, F)
-        keff = jnp.concatenate(
-            [jnp.einsum("ja,abio,lb->jlio", jnp.asarray(_M_NEAREST2[py]),
-                        k, jnp.asarray(_M_NEAREST2[px]))
-             for py in range(2) for px in range(2)], axis=-1)
+        keff = nearest2x_phase_kernel(k)
         z = jax.lax.conv_general_dilated(
             x.astype(self.dtype), keff.astype(self.dtype), (1, 1),
             [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -258,10 +309,7 @@ class UpConvBlock(nn.Module):
         z = z.astype(self.dtype)
         if self.activation is not None:
             z = self.activation(z)
-        F = self.features
-        z = z.reshape(z.shape[:-1] + (2, 2, F))
-        z = jnp.moveaxis(z, (-3, -2), (-4, -2))            # (.., h, 2, w, 2, F)
-        return z.reshape(z.shape[:-5] + (2 * h, 2 * w, F))
+        return depth_to_space2(z, self.features)
 
 
 class FullyConnected(nn.Module):

@@ -75,7 +75,10 @@ class ResNetEncoder(nn.Module):
 
         # 1/2 -> 1/4: max pool then residual stage.  On the padded canvas
         # the _NEG fill behaves as the pool's -inf padding; slice to the
-        # true pooled extent (a no-op when unpadded).
+        # true pooled extent (a no-op when unpadded).  (A flat-view pool
+        # that avoided the canvas's tile-padded 4D relayout measured
+        # neutral on ZJU and -4% on NTU - PERF.md round-3 negative
+        # results - so the literal form stays.)
         h = max_pool_same(h, 3, 2)[:, :-(-ho // 2), :-(-wo // 2)]
         for si, feat in enumerate(self.n_filters[1:]):
             stride = 1 if si == 0 else 2
@@ -111,7 +114,18 @@ class MultiScaleDecoder(nn.Module):
     """U-Net decoder, n_resolution=1 configuration (networks.py:458-778).
 
     Walks the skip pyramid deep->shallow; the final block upsamples to
-    `output_shape` without a skip, then a linear 3x3 conv emits logits."""
+    `output_shape` without a skip, then a linear 3x3 conv emits logits.
+
+    On bf16 TPU inference the full-resolution tail (deconv0's x2 upsample +
+    fusion conv + the output conv) runs entirely in PHASE space at quarter
+    spatial size: the nearest-x2 composes into the upconv
+    (layers.nearest2x_phase_kernel) and each following 3x3 conv composes
+    with the depth-to-space via layers.phase_compose_3x3 - exact (nearest
+    phases align with zero padding), with one cheap 1-channel
+    depth-to-space at the very end.  This removes the two largest ops of
+    the ZJU-geometry bench: the (B*K, 240, 100, 16) depth-to-space
+    relayout and the full-resolution output conv (PERF.md round 3).
+    ``phase_tail=None`` auto-selects (bf16, TPU, inference, exact-x2)."""
 
     n_filters: Sequence[int] = (256, 128, 64, 32, 16)
     output_shape: Tuple[int, int] = (240, 100)
@@ -119,6 +133,7 @@ class MultiScaleDecoder(nn.Module):
     activation: str = "leaky_relu"
     use_batch_norm: bool = True
     dtype: Dtype = jnp.float32
+    phase_tail: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, skips: Sequence[jnp.ndarray],
@@ -131,11 +146,61 @@ class MultiScaleDecoder(nn.Module):
             h = DecoderBlock(feat, act, self.use_batch_norm, "up",
                              dtype=self.dtype,
                              name=f"deconv{4 - i}")(h, skip=skip, train=train)
-        h = DecoderBlock(self.n_filters[-1], act, self.use_batch_norm, "up",
-                         dtype=self.dtype, name="deconv0")(
-                             h, shape=self.output_shape, train=train)
-        return ConvBlock(self.output_channels, 3, 1, None, False,
-                         dtype=self.dtype, name="output0")(h, train)
+
+        fast = self.phase_tail
+        if fast is None:
+            fast = (self.dtype == jnp.bfloat16
+                    and jax.default_backend() not in ("cpu",))
+        fast = (fast and not train and not self.is_initializing()
+                and tuple(self.output_shape) == (2 * h.shape[-3],
+                                                 2 * h.shape[-2])
+                and self.use_batch_norm)
+        if not fast:
+            h = DecoderBlock(self.n_filters[-1], act, self.use_batch_norm,
+                             "up", dtype=self.dtype, name="deconv0")(
+                                 h, shape=self.output_shape, train=train)
+            return ConvBlock(self.output_channels, 3, 1, None, False,
+                             dtype=self.dtype, name="output0")(h, train)
+
+        from riders_tpu.models.layers import (depth_to_space2,
+            nearest2x_phase_kernel, phase_compose_3x3)
+
+        p = self.variables["params"]
+        stats = self.variables["batch_stats"]
+
+        def bn_fold(pp, ss):
+            g = (pp["scale"] / jnp.sqrt(ss["var"] + 1e-5)).astype(
+                jnp.float32)
+            return g, pp["bias"] - ss["mean"] * g
+
+        def phase_conv(z, keff, bn=None):
+            out = jax.lax.conv_general_dilated(
+                z.astype(self.dtype), keff.astype(self.dtype), (1, 1),
+                [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32)
+            if bn is not None:
+                g, b = bn
+                out = out * jnp.tile(g, 4) + jnp.tile(b, 4)
+            return out
+
+        # deconv0's upconv: nearest x2 + conv -> phase tensor (.., h, w, 4F)
+        k_up = p["deconv0"]["deconv"]["conv"]["conv"]["kernel"].astype(
+            jnp.float32)
+        z = phase_conv(h, nearest2x_phase_kernel(k_up),
+                       bn_fold(p["deconv0"]["deconv"]["conv"]["bn"],
+                               stats["deconv0"]["deconv"]["conv"]["bn"]))
+        z = act(z.astype(self.dtype))
+        # deconv0's fusion conv, composed with the depth-to-space.
+        k_fuse = p["deconv0"]["conv"]["conv"]["kernel"].astype(jnp.float32)
+        z = phase_conv(z, phase_compose_3x3(k_fuse),
+                       bn_fold(p["deconv0"]["conv"]["bn"],
+                               stats["deconv0"]["conv"]["bn"]))
+        z = act(z.astype(self.dtype))
+        # output conv (linear, no BN), still in phase space.
+        k_out = p["output0"]["conv"]["kernel"].astype(jnp.float32)
+        o = phase_conv(z, phase_compose_3x3(k_out))
+        return depth_to_space2(o.astype(self.dtype), self.output_channels)
 
 
 class RCNet(nn.Module):

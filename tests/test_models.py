@@ -172,6 +172,34 @@ def test_rcnet_forward_shapes(rng, batch, k):
     assert pr[:, -1].max() == 0.0
 
 
+def test_decoder_phase_tail_matches_literal(rng):
+    """The phase-space decoder tail (x2 upconv + fusion conv + output conv
+    composed at quarter resolution) must match the literal full-resolution
+    path."""
+    from riders_tpu.models.rcnet import MultiScaleDecoder
+
+    def build(phase_tail):
+        return MultiScaleDecoder(
+            n_filters=(16, 16, 8), output_shape=(32, 32),
+            output_channels=1, phase_tail=phase_tail)
+
+    x = jnp.asarray(rng.standard_normal((3, 4, 4, 24)).astype(np.float32))
+    skips = [jnp.asarray(rng.standard_normal((3, 16, 16, 8))
+                         .astype(np.float32)),
+             jnp.asarray(rng.standard_normal((3, 8, 8, 16))
+                         .astype(np.float32))]
+    variables = build(False).init(jax.random.PRNGKey(0), x, skips)
+    # Perturb batch stats so BN folding is actually exercised.
+    variables = jax.tree.map(
+        lambda v: v + 0.1 * np.abs(rng.standard_normal(v.shape)).astype(
+            v.dtype), variables)
+
+    lit = build(False).apply(variables, x, skips)
+    fast = build(True).apply(variables, x, skips)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(lit),
+                               atol=2e-4, rtol=1e-3)
+
+
 def test_rcnet_batchnorm_training_mode(rng):
     cfg = RCNetConfig(patch_size=(64, 32))
     model = RCNet(config=cfg)

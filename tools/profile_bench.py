@@ -16,10 +16,12 @@ import jax
 
 
 def main():
-    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/riders_trace"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    out_dir = args[0] if args else "/tmp/riders_trace"
+    preset = "zju" if "--zju" in sys.argv[1:] else "ntu"
     import bench
 
-    fused, rc_vars, sml_vars, batch = bench.build()
+    fused, rc_vars, sml_vars, batch = bench.build(preset)
 
     @jax.jit
     def chain(rc_vars, sml_vars, batch, n):
