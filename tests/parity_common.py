@@ -30,6 +30,8 @@ def _load(name):
 def assemble_parity_md() -> None:
     main = _load("main")
     interp = _load("interp")
+    rcnet_train = _load("rcnet_train")
+    dpt = _load("dpt")
 
     lines = [
         "# PARITY - riders_tpu vs PyTorch reference",
@@ -71,6 +73,48 @@ def assemble_parity_md() -> None:
         "exactly and on depth/response values at rtol 1e-4.",
         "",
     ]
+    if dpt:
+        ref, riders, rel = dpt["ref"], dpt["riders"], dpt["rel"]
+        lines += [
+            "## DPT-Large (ViT-L/16) SML: end-to-end val parity",
+            "",
+            "Same protocol as above with the DPT-Large scale-map learner "
+            "in place of midas-small - the reference side runs its own "
+            "DPTDepthModel forward (modules/midas/dpt_depth.py) via a "
+            "from-scratch torch twin of the ViT-L backbone, the riders "
+            "side the jitted DPTScaleMapLearner with converted weights "
+            "(tests/test_reference_parity.py::"
+            "test_dpt_end_to_end_metric_parity):",
+            "",
+            "| metric | reference | riders_tpu | rel. deviation | budget |",
+            "|---|---|---|---|---|",
+        ]
+        for k in METRIC_KEYS:
+            lines.append(f"| {k} | {ref[k]:.6f} | {riders[k]:.6f} | "
+                         f"{rel[k] * 100:.4f}% | 1% |")
+        lines.append("")
+    if rcnet_train:
+        lines += [
+            "## RC-Net training-step parity",
+            "",
+            "One optimization step on one batch with identical converted "
+            "weights - the reference's label synthesis "
+            "(rcnet_main.py:304-332), train-mode BN forward and "
+            "positive-class-weighted masked BCE (rcnet_model.py:125-166) "
+            "vs the riders train-step loss_fn "
+            "(tests/test_reference_parity.py::"
+            "test_rcnet_train_step_parity):",
+            "",
+            f"- loss: reference {rcnet_train['ref_loss']:.8f} vs riders "
+            f"{rcnet_train['riders_loss']:.8f} "
+            f"(rel {rcnet_train['rel_loss'] * 100:.5f}%, budget 1e-3%)",
+            f"- gradients: all {rcnet_train['n_compared']} non-degenerate "
+            f"leaves (of {rcnet_train['n_leaves']}) agree with cosine "
+            f">= {rcnet_train['worst_cos']:.6f} and relative L2 error "
+            f"<= {rcnet_train['worst_rel']:.2e} after mapping the torch "
+            "grads through the weight converter",
+            "",
+        ]
     if interp:
         lines += [
             "## 'interp' scale-map mode: device IDW vs host-exact griddata",

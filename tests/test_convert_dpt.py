@@ -28,6 +28,7 @@ GRID = 4                      # pretrained grid = runtime grid (64/16)
 NET = (64, 64)
 REASSEMBLE = (8, 12, 16, 16)
 FEATURES = 8
+HOOKS = (0, 1, 2, 3)          # which block taps feed the reassembly
 
 
 def tiny_config(backbone: str) -> DPTConfig:
@@ -147,11 +148,23 @@ class TBackbone(nn.Module):
         self.beit = beit
 
     def forward_features(self, x):
+        gh, gw = x.shape[-2] // 16, x.shape[-1] // 16
         h = self.patch_embed.proj(x)
         h = h.flatten(2).transpose(1, 2)
         h = torch.cat((self.cls_token.expand(h.shape[0], -1, -1), h), dim=1)
         if not self.beit:
-            h = h + self.pos_embed
+            if h.shape[1] != self.pos_embed.shape[1]:
+                # Runtime grid differs from the pretrained grid: the
+                # reference interpolates the grid part of pos_embed
+                # (backbones/vit.py:16-30, F.interpolate bilinear).
+                tok, grid = self.pos_embed[:, :1], self.pos_embed[0, 1:]
+                gs = int(round(len(grid) ** 0.5))
+                grid = grid.reshape(1, gs, gs, -1).permute(0, 3, 1, 2)
+                grid = F.interpolate(grid, size=(gh, gw), mode="bilinear")
+                grid = grid.permute(0, 2, 3, 1).reshape(1, gh * gw, -1)
+                h = h + torch.cat([tok, grid], dim=1)
+            else:
+                h = h + self.pos_embed
         taps = []
         for blk in self.blocks:
             h = blk(h)
@@ -256,7 +269,7 @@ class TDPT(nn.Module):
         layers = []
         for n in range(1, 5):
             seq = getattr(self.pretrained, f"act_postprocess{n}")
-            h = seq[0:2](taps[n - 1])
+            h = seq[0:2](taps[HOOKS[n - 1]])
             h = unflatten(h)
             h = seq[3:](h)
             layers.append(h)

@@ -408,6 +408,61 @@ def test_end_to_end_metric_parity(reference_env, reference_model,
     assert not bad, f"metrics beyond the 1% budget: {bad}"
 
 
+@pytest.mark.slow
+def test_dpt_end_to_end_metric_parity(reference_env, mini_root,
+                                      monkeypatch):
+    """Round-2 VERDICT weak #5(a): the full val protocol with the
+    DPT-Large (ViT-L/16) scale-map learner in place of midas-small.
+
+    The reference side runs val_zju.validate with a torch twin of
+    DPTDepthModel at the REAL dpt-large dimensions (embed 1024, depth 24,
+    heads 16, hooks 5/11/17/23, reassemble 256/512/1024/1024 - the
+    vitl16_384 row of modules/midas/blocks_large.py) including the
+    runtime pos-embed interpolation of backbones/vit.py:16-30; the riders
+    side runs the jitted DPTScaleMapLearner with converted weights."""
+    import torch
+
+    import test_convert_dpt as tcd
+
+    for k, v in dict(DIM=1024, HEADS=16, DEPTH=24, GRID=24,
+                     REASSEMBLE=(256, 512, 1024, 1024), FEATURES=256,
+                     HOOKS=(5, 11, 17, 23)).items():
+        monkeypatch.setattr(tcd, k, v)
+
+    torch.manual_seed(11)
+    model = tcd.TDPT(beit=False)
+    with torch.no_grad():
+        for p in model.parameters():
+            p.normal_(0, 0.02)
+    model.eval()
+
+    cfg = _mini_cfg(mini_root)
+    cfg = cfg.replace(sml=dataclasses.replace(cfg.sml,
+                                              model_type="dpt-large"))
+    scenes = ("scene-b",)
+
+    ref = _run_reference_validation(reference_env, model, mini_root,
+                                    scenes)
+
+    from riders_tpu.models import convert
+    from riders_tpu.models.factory import build_sml_model
+    rmodel = build_sml_model(cfg)
+    sd = {k: np.asarray(v.detach().numpy())
+          for k, v in model.state_dict().items()}
+    variables = convert.convert_dpt_state_dict(sd, rmodel.config)
+
+    riders = _run_riders_validation(cfg, variables, scenes)
+
+    rel = {k: abs(riders[k] - ref[k]) / max(abs(ref[k]), 1e-12)
+           for k in METRIC_KEYS}
+    from parity_common import write_fragment
+    write_fragment("dpt", {"ref": ref, "riders": riders, "rel": rel})
+
+    bad = {k: f"{rel[k]:.4%} (ref {ref[k]:.6f} vs riders {riders[k]:.6f})"
+           for k in METRIC_KEYS if rel[k] > BUDGET}
+    assert not bad, f"metrics beyond the 1% budget: {bad}"
+
+
 # ---------------------------------------------------------------------------
 # Stage-2 parity: the reference's own RC-Net (networks.py / rcnet_model.py /
 # rcnet_main.forward_output) vs the riders_tpu jitted stage-2 pipeline with
@@ -583,6 +638,7 @@ def test_rcnet_train_step_parity(rcnet_env, mini_root):
     assert len(flat_ours) == len(flat_ref)
     gmax = max(float(np.abs(np.asarray(r)).max())
                for r in flat_ref.values())
+    worst_cos, worst_rel, n_compared = 1.0, 0.0, 0
     for path, g in flat_ours:
         r = np.asarray(flat_ref[path], np.float64).ravel()
         g = np.asarray(g, np.float64).ravel()
@@ -599,6 +655,17 @@ def test_rcnet_train_step_parity(rcnet_env, mini_root):
         rel = float(np.linalg.norm(r - g) / rn)
         assert cos > 0.9999, (path, cos)
         assert rel < 5e-3, (path, rel)
+        worst_cos, worst_rel = min(worst_cos, cos), max(worst_rel, rel)
+        n_compared += 1
+
+    from parity_common import write_fragment
+    write_fragment("rcnet_train", {
+        "ref_loss": float(ref_loss.detach()),
+        "riders_loss": float(loss),
+        "rel_loss": abs(float(loss) - float(ref_loss.detach()))
+        / abs(float(ref_loss.detach())),
+        "n_leaves": len(flat_ours), "n_compared": n_compared,
+        "worst_cos": worst_cos, "worst_rel": worst_rel})
 
 
 def test_rcnet_stage2_parity(rcnet_env, mini_root):
