@@ -118,6 +118,10 @@ class RCNetConfig:
     n_filters_encoder_image: Tuple[int, ...] = (32, 64, 128, 128, 128)
     n_neurons_encoder_depth: Tuple[int, ...] = (32, 64, 128, 128, 128)
     n_filters_decoder: Tuple[int, ...] = (256, 128, 64, 32, 16)
+    # Number of decoder output scales (networks.py:466-510).  The shipped
+    # reference configs use 1 (rcnet_model.py:86); >1 emits the coarse
+    # logits list for multi-scale supervision.
+    n_resolution: int = 1
     attention_layers: int = 4                       # x (self, cross)
     attention_heads: int = 8
     use_batch_norm: bool = True

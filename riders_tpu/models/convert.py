@@ -233,7 +233,19 @@ def convert_rcnet_state_dict(sd: Dict[str, np.ndarray]
         i += 1
     params["attention"] = att
 
-    # --- decoder (networks.py:458-778) ---
+    dec_p, dec_s = convert_rcnet_decoder_state_dict(sd)
+    params["decoder"] = dec_p
+    stats["decoder"] = dec_s
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_rcnet_decoder_state_dict(sd):
+    """Decoder subtree (networks.py:458-778) from `decoder.*` keys.
+
+    Returns (params, batch_stats) for a standalone
+    models.rcnet.MultiScaleDecoder; convert_rcnet_state_dict uses it for
+    the full-model mapping.  Multi-resolution output convs
+    (networks.py:582-646) are mapped when present (n_resolution > 1)."""
     dec_p: Dict[str, Any] = {}
     dec_s: Dict[str, Any] = {}
     for d in (4, 3, 2, 1, 0):
@@ -252,9 +264,11 @@ def convert_rcnet_state_dict(sd: Dict[str, np.ndarray]
         dec_s[f"deconv{d}"] = block_s
     out_p, _ = _convblock(sd, "decoder.output0", False)
     dec_p["output0"] = out_p
-    params["decoder"] = dec_p
-    stats["decoder"] = dec_s
-    return {"params": params, "batch_stats": stats}
+    for r in (1, 2, 3):
+        if f"decoder.output{r}.conv.weight" in sd:
+            dec_p[f"output{r}"], _ = _convblock(
+                sd, f"decoder.output{r}", False)
+    return dec_p, dec_s
 
 
 def _convtranspose(sd, key):

@@ -111,10 +111,17 @@ class PointEncoder(nn.Module):
 
 
 class MultiScaleDecoder(nn.Module):
-    """U-Net decoder, n_resolution=1 configuration (networks.py:458-778).
+    """U-Net decoder (networks.py:458-778), n_resolution 1..4.
 
     Walks the skip pyramid deep->shallow; the final block upsamples to
     `output_shape` without a skip, then a linear 3x3 conv emits logits.
+    With ``n_resolution > 1`` the reference's multi-scale form is
+    reproduced (networks.py:716-778): a linear `output{d}` conv taps each
+    of the last `n_resolution - 1` scales, its bilinear
+    align_corners x2 upsample is concatenated after the next block's
+    encoder skip, and deconv0 consumes the upsampled 1/2-scale output as
+    its skip; the return value is then the deep->shallow LIST of logits
+    (the reference wrapper consumes `[-1]`, rcnet_model.py:119).
 
     On bf16 TPU inference the full-resolution tail (deconv0's x2 upsample +
     fusion conv + the output conv) runs entirely in PHASE space at quarter
@@ -132,35 +139,70 @@ class MultiScaleDecoder(nn.Module):
     output_channels: int = 1
     activation: str = "leaky_relu"
     use_batch_norm: bool = True
+    n_resolution: int = 1
     dtype: Dtype = jnp.float32
     phase_tail: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, skips: Sequence[jnp.ndarray],
                  train: bool = False) -> jnp.ndarray:
+        from riders_tpu.ops.resize import resize2d
+
+        assert 1 <= self.n_resolution < len(self.n_filters)
         act = activation_fn(self.activation)
         h = x
+        outputs = []
+        up_prev = None
         # skips ordered shallow->deep; walk from the deepest.
         for i, feat in enumerate(self.n_filters[:-1]):
+            d = 4 - i
             skip = skips[len(skips) - 1 - i]
+            if up_prev is not None:
+                # Reference concat order: encoder skip first, then the
+                # upsampled coarser output (networks.py:730).
+                skip = jnp.concatenate(
+                    [skip, up_prev.astype(skip.dtype)], axis=-1)
             h = DecoderBlock(feat, act, self.use_batch_norm, "up",
                              dtype=self.dtype,
-                             name=f"deconv{4 - i}")(h, skip=skip, train=train)
+                             name=f"deconv{d}")(h, skip=skip, train=train)
+            if d in (3, 2, 1) and self.n_resolution > d:
+                out = ConvBlock(self.output_channels, 3, 1, None, False,
+                                dtype=self.dtype,
+                                name=f"output{d}")(h, train)
+                outputs.append(out)
+                up_prev = resize2d(
+                    out, (2 * out.shape[-3], 2 * out.shape[-2]),
+                    "bilinear", align_corners=True)
+            else:
+                up_prev = None
 
         fast = self.phase_tail
         if fast is None:
             fast = (self.dtype == jnp.bfloat16
                     and jax.default_backend() not in ("cpu",))
         fast = (fast and not train and not self.is_initializing()
+                and self.n_resolution == 1
                 and tuple(self.output_shape) == (2 * h.shape[-3],
                                                  2 * h.shape[-2])
                 and self.use_batch_norm)
         if not fast:
-            h = DecoderBlock(self.n_filters[-1], act, self.use_batch_norm,
-                             "up", dtype=self.dtype, name="deconv0")(
-                                 h, shape=self.output_shape, train=train)
-            return ConvBlock(self.output_channels, 3, 1, None, False,
+            if up_prev is not None:
+                # n_resolution > 1: deconv0's skip is the upsampled
+                # 1/2-scale output (networks.py:760-767, n != 0 branch).
+                h = DecoderBlock(self.n_filters[-1], act,
+                                 self.use_batch_norm, "up",
+                                 dtype=self.dtype, name="deconv0")(
+                                     h, skip=up_prev, train=train)
+            else:
+                h = DecoderBlock(self.n_filters[-1], act,
+                                 self.use_batch_norm, "up",
+                                 dtype=self.dtype, name="deconv0")(
+                                     h, shape=self.output_shape, train=train)
+            out0 = ConvBlock(self.output_channels, 3, 1, None, False,
                              dtype=self.dtype, name="output0")(h, train)
+            if self.n_resolution > 1:
+                return outputs + [out0]
+            return out0
 
         from riders_tpu.models.layers import (depth_to_space2,
             nearest2x_phase_kernel, phase_compose_3x3)
@@ -221,8 +263,8 @@ class RCNet(nn.Module):
     @nn.compact
     def __call__(self, image: jnp.ndarray, points: jnp.ndarray,
                  boxes: jnp.ndarray, point_mask: Optional[jnp.ndarray] = None,
-                 train: bool = False, return_logits: bool = True
-                 ) -> jnp.ndarray:
+                 train: bool = False, return_logits: bool = True,
+                 return_all_scales: bool = False) -> jnp.ndarray:
         cfg = self.config
         B, K = points.shape[:2]
         lh, lw = cfg.latent_shape
@@ -271,17 +313,28 @@ class RCNet(nn.Module):
             image_tokens.reshape(B * K, lh, lw, -1),
             point_tokens.reshape(B * K, lh, lw, -1)], axis=-1)
 
-        logits = MultiScaleDecoder(
+        outs = MultiScaleDecoder(
             cfg.n_filters_decoder, cfg.patch_size, 1, cfg.activation,
-            cfg.use_batch_norm, dtype=self.dtype, name="decoder")(
-                fused, pooled_skips, train)
+            cfg.use_batch_norm, n_resolution=cfg.n_resolution,
+            dtype=self.dtype, name="decoder")(fused, pooled_skips, train)
+        if not isinstance(outs, (list, tuple)):
+            outs = [outs]
 
-        logits = logits.reshape(B, K, *cfg.patch_size, 1)
-        if point_mask is not None:
-            logits = jnp.where(point_mask[:, :, None, None, None] > 0,
-                               logits, -1e4 if return_logits else 0.0)
-        if return_logits:
-            return logits
-        return jax.nn.sigmoid(logits) * (
-            point_mask[:, :, None, None, None]
-            if point_mask is not None else 1.0)
+        def finalize(logits):
+            logits = logits.reshape(B, K, *logits.shape[-3:])
+            if point_mask is not None:
+                logits = jnp.where(point_mask[:, :, None, None, None] > 0,
+                                   logits, -1e4 if return_logits else 0.0)
+            if return_logits:
+                return logits
+            return jax.nn.sigmoid(logits) * (
+                point_mask[:, :, None, None, None]
+                if point_mask is not None else 1.0)
+
+        if return_all_scales:
+            # Deep->shallow logits list for multi-scale supervision
+            # (the reference decoder's list form, networks.py:778).
+            return [finalize(o) for o in outs]
+        # The reference wrapper consumes only the full-resolution output
+        # (rcnet_model.py:119 `[-1]`).
+        return finalize(outs[-1])

@@ -213,3 +213,37 @@ def test_rcnet_batchnorm_training_mode(rng):
         variables, image, pts, boxes, train=True,
         mutable=["batch_stats"])
     assert "batch_stats" in updates
+
+
+def test_rcnet_multiresolution_outputs(rng):
+    """n_resolution>1 (networks.py:678-778): the decoder emits the
+    deep->shallow logits list; the default return stays the
+    full-resolution map (the reference wrapper's `[-1]`)."""
+    cfg = RCNetConfig(patch_size=(64, 32), n_resolution=3)
+    model = RCNet(config=cfg)
+    B, K = 1, 2
+    H, W = 128, 160
+    image = jnp.asarray(rng.random((B, H, W, 3)).astype(np.float32))
+    pts = np.stack([
+        rng.integers(16, W - 16, (B, K)),
+        rng.integers(32, H - 32, (B, K)),
+        rng.random((B, K)) * 50], axis=-1).astype(np.float32)
+    boxes = np.stack([
+        pts[..., 0] - 16, pts[..., 1] - 32,
+        pts[..., 0] + 16, pts[..., 1] + 32], axis=-1).astype(np.float32)
+    mask = np.ones((B, K), np.float32)
+
+    variables = model.init(jax.random.PRNGKey(0), image, jnp.asarray(pts),
+                           jnp.asarray(boxes), jnp.asarray(mask))
+    outs = model.apply(variables, image, jnp.asarray(pts),
+                       jnp.asarray(boxes), jnp.asarray(mask),
+                       return_all_scales=True)
+    assert len(outs) == 3
+    assert outs[-1].shape == (B, K, 64, 32, 1)
+    # each scale doubles the previous one
+    for a, b in zip(outs, outs[1:]):
+        assert (2 * a.shape[2], 2 * a.shape[3]) == b.shape[2:4]
+    # the default (single-output) path is the last scale
+    last = model.apply(variables, image, jnp.asarray(pts),
+                       jnp.asarray(boxes), jnp.asarray(mask))
+    np.testing.assert_array_equal(np.asarray(last), np.asarray(outs[-1]))

@@ -743,3 +743,70 @@ def test_rcnet_stage2_parity(rcnet_env, mini_root):
     assert m.sum() > 0, "test frame produced an empty quasi-dense map"
     np.testing.assert_allclose(got_depth[m], ref_depth[m], rtol=1e-4,
                                atol=1e-3)
+
+
+def test_multires_decoder_parity(rcnet_env):
+    """Round-2 VERDICT missing #3: the n_resolution>1 decoder form
+    (networks.py:678-778: per-scale linear output convs, bilinear
+    align_corners x2 upsamples concatenated after the next encoder skip,
+    deconv0 fed by the upsampled 1/2-scale output) - the reference's own
+    networks.MultiScaleDecoder vs the riders decoder with converted
+    weights must agree on ALL four output scales."""
+    import torch
+    import torch.nn as nn
+
+    import jax.numpy as jnp
+
+    from networks import MultiScaleDecoder as TorchMSD
+
+    from riders_tpu.models import convert
+    from riders_tpu.models.rcnet import MultiScaleDecoder
+
+    n_filters = [32, 16, 16, 8, 8]
+    n_skips = [16, 8, 8, 4, 0]
+    torch.manual_seed(5)
+    tdec = TorchMSD(
+        input_channels=24, output_channels=1, n_resolution=4,
+        n_filters=n_filters, n_skips=n_skips,
+        weight_initializer="kaiming_uniform",
+        activation_func="leaky_relu", output_func="linear",
+        use_batch_norm=True, deconv_type="up")
+    tdec.eval()
+    with torch.no_grad():
+        for m in tdec.modules():
+            if isinstance(m, nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.1)
+                m.running_var.uniform_(0.5, 2.0)
+                m.weight.normal_(1.0, 0.1)
+                m.bias.normal_(0, 0.1)
+
+    rng = np.random.default_rng(31)
+    x = rng.standard_normal((2, 2, 2, 24)).astype(np.float32)
+    # shallow->deep skips; channels per n_skips[d] for deconv d.
+    skips = [rng.standard_normal((2, 32, 32, 4)).astype(np.float32),
+             rng.standard_normal((2, 16, 16, 8)).astype(np.float32),
+             rng.standard_normal((2, 8, 8, 8)).astype(np.float32),
+             rng.standard_normal((2, 4, 4, 16)).astype(np.float32)]
+
+    def t(a):  # NHWC -> NCHW tensor
+        return torch.from_numpy(np.transpose(a, (0, 3, 1, 2)).copy())
+
+    with torch.no_grad():
+        ref_outs = tdec(t(x), [t(s) for s in skips], shape=(64, 64))
+    assert len(ref_outs) == 4
+
+    sd = {"decoder." + k: np.asarray(v.detach().numpy())
+          for k, v in tdec.state_dict().items()}
+    dec_p, dec_s = convert.convert_rcnet_decoder_state_dict(sd)
+
+    dec = MultiScaleDecoder(
+        n_filters=tuple(n_filters), output_shape=(64, 64),
+        output_channels=1, activation="leaky_relu", use_batch_norm=True,
+        n_resolution=4, phase_tail=False)
+    outs = dec.apply({"params": dec_p, "batch_stats": dec_s},
+                     jnp.asarray(x), [jnp.asarray(s) for s in skips])
+    assert len(outs) == 4
+    for got, ref in zip(outs, ref_outs):
+        np.testing.assert_allclose(
+            np.transpose(np.asarray(got), (0, 3, 1, 2)),
+            ref.numpy(), rtol=1e-4, atol=1e-4)
