@@ -140,13 +140,29 @@ class StepTimer:
 
 
 def save_image_mosaic(path: str, panels, max_depth: float = 80.0) -> None:
-    """Dump a horizontal mosaic of image/depth panels as one PNG - the
+    """Dump a mosaic of image/depth panels as one PNG - the
     dependency-light stand-in for the reference's TensorBoard image grids
     (log_utils.log_summary:102-287, rcnet_model.log_summary:267-476).
 
-    `panels` is a list of (H, W[, 3]) arrays: RGB panels pass through,
-    single-channel panels are viridis-colorized against max_depth.
+    `panels` is a list of (H, W[, 3]) arrays laid out horizontally, or a
+    list of such lists laid out as a grid (one inner list per mosaic
+    row).  RGB panels pass through, single-channel panels are
+    viridis-colorized against max_depth.
     """
+    if panels and isinstance(panels[0], (list, tuple)):
+        grid = [_mosaic_row(row, max_depth) for row in panels]
+        width = max(r.shape[1] for r in grid)
+        grid = [np.pad(r, ((0, 0), (0, width - r.shape[1]), (0, 0)))
+                for r in grid]
+        mosaic = np.concatenate(grid, axis=0)
+    else:
+        mosaic = _mosaic_row(panels, max_depth)
+    from PIL import Image
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    Image.fromarray(np.uint8(mosaic * 255)).save(path)
+
+
+def _mosaic_row(panels, max_depth: float) -> np.ndarray:
     from riders_tpu.io.depthio import _viridis
 
     rows = []
@@ -165,10 +181,7 @@ def save_image_mosaic(path: str, panels, max_depth: float = 80.0) -> None:
                              Image.NEAREST)
             p = np.asarray(img, np.float32) / 255.0
         rows.append(np.clip(p, 0, 1))
-    mosaic = np.concatenate(rows, axis=1)
-    from PIL import Image
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    Image.fromarray(np.uint8(mosaic * 255)).save(path)
+    return np.concatenate(rows, axis=1)
 
 
 @contextlib.contextmanager

@@ -192,19 +192,33 @@ def train_rcnet(cfg: RidersConfig, checkpoint_dir: str,
                     f"R={float(info['recall']):.3f}",
                     log_path)
                 ckpt_lib.save_train_state(checkpoint_dir, state)
-                # Visual summary: patch | GT label | response | validity
-                # (the reference's TB mosaics, rcnet_model.py:267-476),
-                # plus response/label distribution histograms.
+                # Visual summary grid, one row per displayed point:
+                # patch | response | output label | GT label | label
+                # error | validity | GT depth (the reference's TB panel
+                # set, rcnet_model.py:267-476), plus the reference's
+                # distribution histograms and label-count scalars.
                 panels = jax.device_get(summary_fn(state, batch))
+                grid = [[panels["image_patch"][i], panels["response"][i],
+                         panels["output_label"][i], panels["label"][i],
+                         panels["label_error"][i], panels["validity"][i],
+                         panels["gt_depth"][i]]
+                        for i in range(panels["response"].shape[0])]
                 log_lib.save_image_mosaic(
                     os.path.join(checkpoint_dir, "summaries",
-                                 f"step{step}.png"),
-                    [panels["image_patch"], panels["label"],
-                     panels["response"], panels["validity"]],
-                    max_depth=1.0)
+                                 f"step{step}.png"), grid, max_depth=1.0)
                 writer.write_histograms(step, {
                     "response": panels["response"],
-                    "label": panels["label"]})
+                    "output_label": panels["output_label"],
+                    "label": panels["label"],
+                    "gt_depth": panels["gt_depth"]})
+                # One combined scalar record, like the reference's
+                # loss_info bundle (rcnet_main.py:390-395).
+                writer.write(step, {
+                    **info,
+                    "n_ground_truth_label_per_point":
+                        panels["n_ground_truth_label_per_point"],
+                    "n_predicted_label_per_point":
+                        panels["n_predicted_label_per_point"]})
             if max_steps is not None and step >= max_steps:
                 ckpt_lib.save_train_state(checkpoint_dir, state)
                 writer.close()

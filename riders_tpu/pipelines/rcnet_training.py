@@ -118,13 +118,19 @@ def make_rcnet_train_step(cfg: RidersConfig, model: RCNet,
     return train_step
 
 
-def make_rcnet_summary_fn(cfg: RidersConfig, model: RCNet):
+def make_rcnet_summary_fn(cfg: RidersConfig, model: RCNet,
+                          n_display: int = 4):
     """Visual training summaries - the reference's per-n_step_per_summary
-    TB image grids (rcnet_model.log_summary:267-476) in the repo's idiom:
-    a jitted forward on the current batch returning, for the first point
-    of frame 0, the input image patch, the synthesized GT label map, the
-    sigmoid response and the validity map, ready for
-    `core.logging.save_image_mosaic`.
+    TB image grids (rcnet_model.log_summary:267-476 via
+    rcnet_main.py:363-409) in the repo's idiom: a jitted forward on the
+    current batch returning, for the first `n_display` valid points, the
+    full reference panel set - input image patch, sigmoid response,
+    thresholded output label (response > 0.5, rcnet_main.py:385-388),
+    synthesized GT label, relative label error on valid pixels
+    (rcnet_model.py:371-377), the validity map and the GT depth crop -
+    plus the reference's per-point label-count scalars
+    (rcnet_main.py:390-395).  Arrays are (n, ph, pw[, 3]), ready for a
+    `core.logging.save_image_mosaic` grid (one row per point).
 
     Run only on summary steps; one extra inference-mode forward."""
     t = cfg.rcnet_train
@@ -141,15 +147,47 @@ def make_rcnet_summary_fn(cfg: RidersConfig, model: RCNet):
         labels, validity = synthesize_labels(
             batch["gt_crops"], batch["points"][..., 2],
             t.max_distance_correspondence, t.set_invalid_to_negative_class)
-        x1 = batch["boxes"][0, 0, 0].astype(jnp.int32)
-        y1 = batch["boxes"][0, 0, 1].astype(jnp.int32)
-        patch = jax.lax.dynamic_slice(
-            batch["image"][0], (y1, x1, 0), (ph, pw, 3))
+
+        B, K = batch["points"].shape[:2]
+        n = min(n_display, B * K)
+        mask = batch["point_mask"].reshape(-1)
+        # First n valid bucket slots in batch order (the reference logs
+        # the first n_display samples; its loader has no padded slots).
+        order_bias = jnp.arange(mask.size, 0, -1, dtype=jnp.float32)
+        _, idx = jax.lax.top_k(mask * mask.size + order_bias, n)
+        bi, ki = idx // K, idx % K
+
+        def pick_patch(b, k):
+            x1 = batch["boxes"][b, k, 0].astype(jnp.int32)
+            y1 = batch["boxes"][b, k, 1].astype(jnp.int32)
+            return jax.lax.dynamic_slice(
+                jnp.take(batch["image"], b, axis=0), (y1, x1, 0),
+                (ph, pw, 3))
+
+        flat = lambda a: a.reshape((B * K,) + a.shape[2:])[idx]
+        resp = flat(response)
+        lab = flat(labels[..., 0])
+        val = flat(validity[..., 0])
+        gtd = flat(batch["gt_crops"][..., 0])
+        out_label = (resp > 0.5).astype(jnp.float32)
+        # Relative label error on valid pixels (rcnet_model.py:371-377).
+        err = jnp.where(val == 1.0,
+                        (jnp.abs(out_label - lab) + 1e-8) / (lab + 1e-8),
+                        val)
         return {
-            "image_patch": (patch - lo) / (hi - lo),  # back to [0, 1]
-            "response": response[0, 0],
-            "label": labels[0, 0, ..., 0],
-            "validity": validity[0, 0, ..., 0],
+            "image_patch": (jax.vmap(pick_patch)(bi, ki) - lo) / (hi - lo),
+            "response": resp,
+            "output_label": out_label,
+            "label": lab,
+            "label_error": err,
+            "validity": val,
+            # GT depth colorized against 100 m like the reference
+            # (rcnet_model.py:432-443 output_depth / 100).
+            "gt_depth": gtd / 100.0,
+            "n_ground_truth_label_per_point": jnp.mean(
+                jnp.sum(labels[..., 0], axis=(-2, -1))),
+            "n_predicted_label_per_point": jnp.mean(jnp.sum(
+                (response > 0.5).astype(jnp.float32), axis=(-2, -1))),
         }
 
     return summarize
