@@ -49,6 +49,48 @@ def linear_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out
 
 
+def linear_attention_flat(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                          nhead: int,
+                          q_mask: Optional[jnp.ndarray] = None,
+                          kv_mask: Optional[jnp.ndarray] = None,
+                          eps: float = 1e-6) -> jnp.ndarray:
+    """`linear_attention` computed on the flat (N, L, d_model) tensors.
+
+    Mathematically identical to splitting into `nhead` heads of
+    D = d_model/nhead: the per-head KV contraction is the block-diagonal
+    restriction of the full d_model x d_model contraction (off-block
+    products are multiplied by an exact 0/1 mask), and the per-head
+    normalizer is a head-segment sum via a one-hot matmul.  This keeps
+    every tensor 3D with a full 128-lane minor dim - the (N, L, H, D)
+    head split costs six relayout copies per layer on TPU because D=16
+    pads each vreg 8x (PERF.md round 3).
+    """
+    n, l, d_model = q.shape
+    dim = d_model // nhead
+    Q = elu_feature_map(q)
+    K = elu_feature_map(k)
+    if q_mask is not None:
+        Q = Q * q_mask[:, :, None]
+    if kv_mask is not None:
+        K = K * kv_mask[:, :, None]
+        v = v * kv_mask[:, :, None]
+
+    heads = jnp.arange(d_model) // dim
+    block = (heads[:, None] == heads[None, :]).astype(q.dtype)   # (d, d)
+    onehot = (heads[:, None] == jnp.arange(nhead)[None, :]).astype(
+        jnp.float32)                                             # (d, H)
+
+    v_length = v.shape[1]
+    v = v / v_length
+    KV = jnp.einsum("nsd,nsv->ndv", K, v) * block
+    Z = 1.0 / (jnp.einsum("nld,dh->nlh",
+                          Q.astype(jnp.float32)
+                          * K.sum(axis=1, keepdims=True).astype(jnp.float32),
+                          onehot) + eps)
+    Zx = jnp.einsum("nlh,dh->nld", Z, onehot).astype(q.dtype)
+    return jnp.einsum("nld,ndv->nlv", Q, KV) * Zx * v_length
+
+
 def full_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                    q_mask: Optional[jnp.ndarray] = None,
                    kv_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
@@ -81,16 +123,22 @@ class LoFTREncoderLayer(nn.Module):
 
         dense = lambda feat, name: nn.Dense(feat, use_bias=False,
                                             dtype=self.dtype, name=name)
-        q = dense(self.d_model, "q_proj")(x).reshape(n, l, self.nhead, dim)
-        k = dense(self.d_model, "k_proj")(source).reshape(
-            n, s, self.nhead, dim)
-        v = dense(self.d_model, "v_proj")(source).reshape(
-            n, s, self.nhead, dim)
+        q = dense(self.d_model, "q_proj")(x)
+        k = dense(self.d_model, "k_proj")(source)
+        v = dense(self.d_model, "v_proj")(source)
 
-        attn = linear_attention if self.attention == "linear" else full_attention
-        message = attn(q, k, v, x_mask, source_mask)
-        message = dense(self.d_model, "merge")(
-            message.reshape(n, l, self.d_model))
+        if self.attention == "linear":
+            # Flat-head formulation: no (N, L, H, D) split (see
+            # linear_attention_flat).
+            message = linear_attention_flat(q, k, v, self.nhead,
+                                            x_mask, source_mask)
+        else:
+            message = full_attention(
+                q.reshape(n, l, self.nhead, dim),
+                k.reshape(n, s, self.nhead, dim),
+                v.reshape(n, s, self.nhead, dim),
+                x_mask, source_mask).reshape(n, l, self.d_model)
+        message = dense(self.d_model, "merge")(message)
         message = nn.LayerNorm(dtype=self.dtype, name="norm1")(message)
 
         message = jnp.concatenate([x, message], axis=-1)

@@ -445,3 +445,27 @@ def max_pool_same(x: jnp.ndarray, window: int = 3, stride: int = 2
     pad = window // 2
     return nn.max_pool(x, (window, window), strides=(stride, stride),
                        padding=[(pad, pad), (pad, pad)])
+
+
+def max_pool_same_split(x: jnp.ndarray, out_h: int, out_w: int
+                        ) -> jnp.ndarray:
+    """MaxPool2d(3, 2, 1) decomposed into a row window over the flat
+    (rows, W*C) view followed by a column window on the half-row result,
+    then sliced to (out_h, out_w).
+
+    Exact (max over a 3x3 window = max of row-maxes), but ~2.5x cheaper
+    than the single reduce-window on a C=32 canvas: the 4D form tiles C
+    into a quarter of each 128-lane vreg, while the flat view runs the
+    dominant full-resolution row pass at full lane occupancy and leaves
+    only the half-size result for the badly-tiled column pass.  Intended
+    for the stem's fill-padded RoI canvas (the _NEG fill acts as the
+    pool's -inf; out-of-extent windows are sliced away)."""
+    B, R, W, C = x.shape
+    neg = jnp.asarray(-jnp.inf, x.dtype)
+    rowp = jax.lax.reduce_window(
+        x.reshape(B, R, W * C), neg, jax.lax.max,
+        (1, 3, 1), (1, 2, 1), ((0, 0), (1, 1), (0, 0)))
+    colp = jax.lax.reduce_window(
+        rowp.reshape(B, rowp.shape[1], W, C), neg, jax.lax.max,
+        (1, 1, 3, 1), (1, 1, 2, 1), ((0, 0), (0, 0), (1, 1), (0, 0)))
+    return colp[:, :out_h, :out_w]

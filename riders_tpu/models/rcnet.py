@@ -44,6 +44,17 @@ from riders_tpu.ops.patches import roi_pool_pyramid_batched
 Dtype = Any
 
 
+def _pool_canvas(h: jnp.ndarray, ho: int, wo: int) -> jnp.ndarray:
+    """MaxPool2d(3, 2, 1) over the (possibly RoI-padded) stem canvas,
+    returning the true pooled extent (ceil(ho/2), ceil(wo/2)).
+
+    Pooling the full canvas and slicing after is equivalent to slicing
+    the canvas to (ho, wo) first (the _NEG fill and reduce_window's -inf
+    padding are interchangeable under max); module-level so benchmarks
+    can A/B the two orderings."""
+    return max_pool_same(h, 3, 2)[:, :-(-ho // 2), :-(-wo // 2)]
+
+
 class ResNetEncoder(nn.Module):
     """ResNet-18-style encoder with skips (networks.py:10-270).
 
@@ -75,11 +86,13 @@ class ResNetEncoder(nn.Module):
 
         # 1/2 -> 1/4: max pool then residual stage.  On the padded canvas
         # the _NEG fill behaves as the pool's -inf padding; slice to the
-        # true pooled extent (a no-op when unpadded).  (A flat-view pool
-        # that avoided the canvas's tile-padded 4D relayout measured
-        # neutral on ZJU and -4% on NTU - PERF.md round-3 negative
-        # results - so the literal form stays.)
-        h = max_pool_same(h, 3, 2)[:, :-(-ho // 2), :-(-wo // 2)]
+        # true pooled extent (a no-op when unpadded).  (Two pool
+        # reformulations measured WORSE despite the 4D canvas pool's 1/4
+        # lane occupancy: a flat-view pool was neutral-ZJU/-4% NTU in
+        # round 3, and a rows-on-flat-then-cols split pool regressed ZJU
+        # 362.6 -> 353.5 in round 3's second pass - the literal form
+        # stays.)
+        h = _pool_canvas(h, ho, wo)
         for si, feat in enumerate(self.n_filters[1:]):
             stride = 1 if si == 0 else 2
             for bi in range(self.n_blocks_per_stage):

@@ -34,7 +34,7 @@ from riders_tpu.models.rcnet import RCNet
 from riders_tpu.models.sml import ScaleMapLearner
 from riders_tpu.ops.patches import (adaptive_threshold_value,
                                     compose_patches_batched)
-from riders_tpu.ops.resize import resize2d
+from riders_tpu.ops.resize import edge_pad2d, resize2d
 from riders_tpu.pipelines.rcnet_inference import shift_points_and_boxes
 from riders_tpu.pipelines.sml_inference import prepare_sml_inputs
 
@@ -55,14 +55,16 @@ def make_fused_fn(cfg: RidersConfig, rcnet: RCNet, sml: ScaleMapLearner):
     @jax.jit
     def fused(rc_vars, sml_vars, batch: Dict[str, jnp.ndarray]):
         image = batch["image"]
-        # Edge-pad on device (rcnet_main.py:441-444).
-        padded = jnp.pad(
-            image, ((0, 0), (pad_y, pad_y), (pad_x, pad_x), (0, 0)),
-            mode="edge")
+        # Edge-pad on device (rcnet_main.py:441-444) via one-hot matmuls
+        # - jnp.pad(mode='edge') lowers through boundary-row relayouts
+        # that cost ~2.4 ms/call (ops/resize.edge_pad2d).  Padding in the
+        # RC-Net compute dtype is exact (one-hot selection) and only the
+        # RC-Net branch consumes the padded frame.
+        padded = edge_pad2d(image.astype(rcnet.dtype), pad_y, pad_x)
 
         points, boxes = shift_points_and_boxes(batch["radar_points"], patch)
         responses = rcnet.apply(
-            rc_vars, padded.astype(rcnet.dtype), points, boxes,
+            rc_vars, padded, points, boxes,
             batch["point_mask"], train=False,
             return_logits=False)[..., 0].astype(jnp.float32)
 

@@ -38,6 +38,29 @@ def test_linear_attention_matches_torch_reference(rng):
     np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=1e-5)
 
 
+def test_linear_attention_flat_matches_head_split(rng):
+    """The flat block-diagonal formulation (the TPU fast path inside
+    LoFTREncoderLayer) equals the explicit (N, L, H, D) head split."""
+    from riders_tpu.models.attention import linear_attention_flat
+
+    n, l, s, h, d = 3, 21, 17, 8, 16
+    q = rng.standard_normal((n, l, h * d)).astype(np.float32)
+    k = rng.standard_normal((n, s, h * d)).astype(np.float32)
+    v = rng.standard_normal((n, s, h * d)).astype(np.float32)
+    qm = (rng.random((n, l)) > 0.3).astype(np.float32)
+    km = (rng.random((n, s)) > 0.3).astype(np.float32)
+
+    ref = linear_attention(
+        jnp.asarray(q).reshape(n, l, h, d), jnp.asarray(k).reshape(n, s, h, d),
+        jnp.asarray(v).reshape(n, s, h, d), jnp.asarray(qm),
+        jnp.asarray(km)).reshape(n, l, h * d)
+    got = linear_attention_flat(jnp.asarray(q), jnp.asarray(k),
+                                jnp.asarray(v), h, jnp.asarray(qm),
+                                jnp.asarray(km))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
 def test_loftr_stack_shapes(rng):
     model = LocalFeatureTransformer(d_model=32, nhead=4, n_layers=2)
     f0 = jnp.asarray(rng.standard_normal((3, 21, 32)).astype(np.float32))

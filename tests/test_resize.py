@@ -137,3 +137,16 @@ def test_test_time_transform_tables():
     import pytest
     with pytest.raises(KeyError):
         test_time_transforms("nonexistent", "void", 150, (480, 640))
+
+
+def test_edge_pad2d_matches_jnp_pad(rng):
+    from riders_tpu.ops.resize import edge_pad2d
+    x = rng.standard_normal((2, 9, 11, 3)).astype(np.float32)
+    ref = np.pad(x, ((0, 0), (4, 4), (5, 5), (0, 0)), mode="edge")
+    got = np.asarray(edge_pad2d(jnp.asarray(x), 4, 5))
+    np.testing.assert_array_equal(got, ref)
+    # bf16 path: one-hot selection stays exact
+    got16 = np.asarray(edge_pad2d(jnp.asarray(x, jnp.bfloat16), 2, 3))
+    ref16 = np.pad(np.asarray(jnp.asarray(x, jnp.bfloat16), np.float32),
+                   ((0, 0), (2, 2), (3, 3), (0, 0)), mode="edge")
+    np.testing.assert_array_equal(got16.astype(np.float32), ref16)

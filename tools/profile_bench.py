@@ -59,9 +59,19 @@ def main():
 
     import csv
     import io
+    import json
     if isinstance(data, bytes):
         data = data.decode("utf-8", "replace")
-    rows = list(csv.reader(io.StringIO(data)))
+    try:
+        # Newer xprof emits a gviz JSON DataTable instead of CSV.
+        table = json.loads(data)
+        header = [c.get("label") or c.get("id", "") for c in table["cols"]]
+        rows = [header] + [
+            [("" if cell is None or cell.get("v") is None else str(cell["v"]))
+             for cell in row["c"]]
+            for row in table.get("rows", [])]
+    except (ValueError, KeyError, TypeError):
+        rows = list(csv.reader(io.StringIO(data)))
     header = rows[0]
     print("columns:", header)
     # pick self-time column
