@@ -155,6 +155,7 @@ class MultiScaleDecoder(nn.Module):
     n_resolution: int = 1
     dtype: Dtype = jnp.float32
     phase_tail: Optional[bool] = None
+    lane_decode: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, skips: Sequence[jnp.ndarray],
@@ -163,6 +164,30 @@ class MultiScaleDecoder(nn.Module):
 
         assert 1 <= self.n_resolution < len(self.n_filters)
         act = activation_fn(self.activation)
+
+        # Lane-major Pallas decode (ops/pallas/lane_decoder.py) is
+        # OPT-IN: at the chip's true roofline (v5e, ~200 TF/s bf16) the
+        # XLA decoder convs already run at 60-95% MXU and the lane
+        # kernels' phase-stacked MAC inflation (16/9) nets out slower
+        # (ZJU bench 341 vs 381 fps) - see PERF.md round-3 notes on the
+        # corrected roofline.  Kept for N-in-lanes experimentation.
+        lane = self.lane_decode
+        if lane is None:
+            import os
+            lane = (self.dtype == jnp.bfloat16
+                    and jax.default_backend() not in ("cpu",)
+                    and os.environ.get("RIDERS_LANE_DECODE", "0") == "1")
+        lane = (lane and not train and not self.is_initializing()
+                and self.n_resolution == 1 and self.use_batch_norm
+                and "leaky_relu" in self.activation
+                and x.shape[0] % 128 == 0
+                and tuple(self.output_shape) == (2 * skips[0].shape[-3],
+                                                 2 * skips[0].shape[-2])
+                and self.output_channels == 1)
+        if lane:
+            return self._decode_lane(
+                x, skips, interpret=jax.default_backend() == "cpu")
+
         h = x
         outputs = []
         up_prev = None
@@ -256,6 +281,73 @@ class MultiScaleDecoder(nn.Module):
         k_out = p["output0"]["conv"]["kernel"].astype(jnp.float32)
         o = phase_conv(z, phase_compose_3x3(k_out))
         return depth_to_space2(o.astype(self.dtype), self.output_channels)
+
+    def _decode_lane(self, x: jnp.ndarray, skips: Sequence[jnp.ndarray],
+                     interpret: bool = False) -> jnp.ndarray:
+        """Whole-decoder fast path in lane-major (H, W, C, N) layout
+        (ops/pallas/lane_decoder.py): XLA's NHWC convs run at 4-7% MXU on
+        the B*K patch batch; these kernels keep N in lanes and the conv
+        taps on untiled dims (PERF.md round 3: deconv1 fusion conv 2.83
+        -> 0.54 ms).  Exact-x2 stages fuse the nearest upsample into
+        phase matmuls; irregular stages (e.g. 30x12 -> 60x25) take an
+        untiled-dim slice-concat resize; deconv0 + output0 fuse into one
+        kernel that never materializes the full-resolution map."""
+        from riders_tpu.ops.pallas import lane_decoder as LD
+
+        p = self.variables["params"]
+        st = self.variables["batch_stats"]
+        slope = 0.2
+        h = LD.to_lane(x)
+        n_stages = len(self.n_filters) - 1
+        for i in range(n_stages):
+            d = 4 - i
+            skip = skips[len(skips) - 1 - i]
+            th, tw = skip.shape[-3], skip.shape[-2]
+            pd, sd = p[f"deconv{d}"], st[f"deconv{d}"]
+            k_up = pd["deconv"]["conv"]["conv"]["kernel"]
+            sb_up = LD.bn_fold(pd["deconv"]["conv"]["bn"],
+                               sd["deconv"]["conv"]["bn"])
+            if (th, tw) == (2 * (h.shape[0] - 2), 2 * (h.shape[1] - 2)):
+                up = LD.lane_upconv2x(h, k_up, *sb_up, slope,
+                                      interpret=interpret)
+            else:
+                up = LD.lane_conv3x3(
+                    [LD.nearest_resize_lane(h, (th, tw))], [k_up],
+                    *sb_up, slope, interpret=interpret)
+            f = int(k_up.shape[3])
+            k_f = pd["conv"]["conv"]["kernel"]
+            sb_f = LD.bn_fold(pd["conv"]["bn"], sd["conv"]["bn"])
+            h = LD.lane_conv3x3(
+                [up, LD.to_lane(skip)], [k_f[:, :, :f], k_f[:, :, f:]],
+                *sb_f, slope, interpret=interpret)
+
+        # Tail (deconv0 + output0): the depth-to-space-composed phase
+        # convs (layers.nearest2x_phase_kernel / phase_compose_3x3) ARE
+        # plain 3x3 convs on the (h/2-grid, 4F, N) phase tensor, so the
+        # full-resolution map never exists - one cheap 1-channel
+        # depth-to-space at the very end.
+        from riders_tpu.models.layers import (depth_to_space2,
+            nearest2x_phase_kernel, phase_compose_3x3)
+
+        p0, s0 = p["deconv0"], st["deconv0"]
+        k_up0 = nearest2x_phase_kernel(
+            p0["deconv"]["conv"]["conv"]["kernel"].astype(jnp.float32))
+        g, b = LD.bn_fold(p0["deconv"]["conv"]["bn"],
+                          s0["deconv"]["conv"]["bn"])
+        u = LD.lane_conv3x3([h], [k_up0], jnp.tile(g, 4), jnp.tile(b, 4),
+                            slope, interpret=interpret)
+        k_f0 = phase_compose_3x3(
+            p0["conv"]["conv"]["kernel"].astype(jnp.float32))
+        g, b = LD.bn_fold(p0["conv"]["bn"], s0["conv"]["bn"])
+        m = LD.lane_conv3x3([u], [k_f0], jnp.tile(g, 4), jnp.tile(b, 4),
+                            slope, interpret=interpret)
+        k_o = phase_compose_3x3(
+            p["output0"]["conv"]["kernel"].astype(jnp.float32))
+        k_o = jnp.pad(k_o, ((0, 0), (0, 0), (0, 0), (0, 4)))  # Co 4 -> 8
+        o = LD.lane_conv3x3([m], [k_o], None, None, None, out_pad=0,
+                            interpret=interpret)
+        o = jnp.transpose(o[:, :, :4], (3, 0, 1, 2))  # (N, h/2, w/2, 4)
+        return depth_to_space2(o, 1).astype(self.dtype)
 
 
 class RCNet(nn.Module):
