@@ -101,6 +101,10 @@ class FusedStemConv(nn.Module):
     # so the stem output needs no slice/pad/relayout pass before pooling.
     roi_pad: Optional[Tuple[int, int]] = None
     pad_fill: float = -1e30
+    # Also return MaxPool2d(3, 2, 1) of the conv output, computed inside
+    # the kernel (the canvas never re-enters VMEM; replaces a 2 ms
+    # reduce_window over the lane-padded 4D canvas on the 640x512 bench).
+    fuse_pool: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -136,6 +140,10 @@ class FusedStemConv(nn.Module):
                     h, ((0, 0), (0, pad_to[0] - ho), (0, pad_to[1] - wo),
                         (0, 0)),
                     constant_values=jnp.asarray(self.pad_fill, h.dtype))
+            if self.fuse_pool:
+                # exact twin of the kernel's fused MaxPool2d(3, 2, 1)
+                return h, max_pool_same(h, 3, 2)[:, :-(-ho // 2),
+                                                 :-(-wo // 2)]
             return h
 
         from riders_tpu.ops.pallas.stem import stem_conv_pallas
@@ -150,6 +158,15 @@ class FusedStemConv(nn.Module):
         else:
             g = jnp.ones((self.features,), jnp.float32)
             b = jnp.zeros((self.features,), jnp.float32)
+        if self.fuse_pool:
+            out, pooled = stem_conv_pallas(
+                x, kernel, g, b, k=k,
+                negative_slope=slopes[self.activation_name],
+                pad_to=pad_to if pad_to is not None else (0, 0),
+                fill=self.pad_fill, pool=True)
+            if pad_to is None:
+                out = out[:, :ho]
+            return out, pooled
         out = stem_conv_pallas(
             x, kernel, g, b, k=k,
             negative_slope=slopes[self.activation_name],

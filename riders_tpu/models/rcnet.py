@@ -77,22 +77,20 @@ class ResNetEncoder(nn.Module):
         skips: List[jnp.ndarray] = []
         ho, wo = -(-x.shape[-3] // 2), -(-x.shape[-2] // 2)
 
-        # 1/1 -> 1/2: 7x7 stride-2 conv (Pallas-fused on bf16 inference).
-        h = FusedStemConv(self.n_filters[0], 7, self.activation,
-                          self.use_batch_norm, dtype=self.dtype,
-                          roi_pad=self.skip1_roi_pad,
-                          name="conv1")(x, train)
+        # 1/1 -> 1/2: 7x7 stride-2 conv (Pallas-fused on bf16 inference)
+        # with MaxPool2d(3, 2, 1) fused into the same kernel: the 4D
+        # canvas (C=32 in lanes) is physically 4x lane-padded, so XLA's
+        # reduce_window over it cost ~2 ms/call; pooling the rows while
+        # they are still in VMEM makes it free.  (Earlier XLA-level pool
+        # reformulations - flat-view pool, rows-then-cols split - were
+        # neutral or worse, PERF.md round 3.)
+        h, pooled = FusedStemConv(self.n_filters[0], 7, self.activation,
+                                  self.use_batch_norm, dtype=self.dtype,
+                                  roi_pad=self.skip1_roi_pad,
+                                  fuse_pool=True,
+                                  name="conv1")(x, train)
         skips.append(h)
-
-        # 1/2 -> 1/4: max pool then residual stage.  On the padded canvas
-        # the _NEG fill behaves as the pool's -inf padding; slice to the
-        # true pooled extent (a no-op when unpadded).  (Two pool
-        # reformulations measured WORSE despite the 4D canvas pool's 1/4
-        # lane occupancy: a flat-view pool was neutral-ZJU/-4% NTU in
-        # round 3, and a rows-on-flat-then-cols split pool regressed ZJU
-        # 362.6 -> 353.5 in round 3's second pass - the literal form
-        # stays.)
-        h = _pool_canvas(h, ho, wo)
+        h = pooled
         for si, feat in enumerate(self.n_filters[1:]):
             stride = 1 if si == 0 else 2
             for bi in range(self.n_blocks_per_stage):

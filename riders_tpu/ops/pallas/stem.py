@@ -64,7 +64,7 @@ def _scatter_kernel_slots(kernel: jnp.ndarray, k: int, n_q: int,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "negative_slope", "clip_max", "block_rows",
-                     "pad_to", "fill", "lead", "interpret"))
+                     "pad_to", "fill", "lead", "pool", "interpret"))
 def stem_conv_pallas(image: jnp.ndarray,
                      kernel: jnp.ndarray,
                      scale: jnp.ndarray,
@@ -76,6 +76,7 @@ def stem_conv_pallas(image: jnp.ndarray,
                      pad_to: Tuple[int, int] = (0, 0),
                      fill: float = -1e30,
                      lead: int | None = None,
+                     pool: bool = False,
                      interpret: bool = False) -> jnp.ndarray:
     """Fused stem: leaky_relu(conv_{k x k, s2}(x) * scale + bias),
     optionally clipped at `clip_max` (relu6 = slope 0 + clip 6).
@@ -109,6 +110,18 @@ def stem_conv_pallas(image: jnp.ndarray,
     Ho, Wo = -(-H // 2), -(-W // 2)
     Wo2 = max(Wo, pad_to[1])
     TR = block_rows
+    Hp2, Wp2 = -(-Ho // 2), -(-Wo // 2)
+    if pool:
+        # MaxPool2d(3, 2, 1) of the conv output is emitted from the same
+        # kernel (the canvas stays in VMEM anyway); the pooled row tiling
+        # must be exact, so pick the largest TR with
+        # ceil(Ho/TR)*(TR//2) == ceil(Ho/2).
+        for TR in (16, 8, 4, 2):
+            if -(-Ho // TR) * (TR // 2) == Hp2:
+                break
+        # the sublane-pair bitcast needs an even canvas width; one more
+        # fill column is invisible to the canvas consumers
+        Wo2 += Wo2 % 2
     if lead is None:
         lead = (k - 1) // 2           # symmetric SAME padding
     # window tap dx spans [0, k) from padded col 2c, so the group count
@@ -155,7 +168,11 @@ def stem_conv_pallas(image: jnp.ndarray,
 
     fill_f = float(fill)
 
-    def kern(x_ref, w_ref, b_ref, out_ref, buf, sem):
+    def kern(x_ref, w_ref, b_ref, *refs):
+        if pool:
+            out_ref, pool_ref, buf, sem, carry = refs
+        else:
+            (out_ref, buf, sem), pool_ref = refs, None
         bb = pl.program_id(0)
         r0 = pl.program_id(1) * TR
 
@@ -181,6 +198,7 @@ def stem_conv_pallas(image: jnp.ndarray,
             b = b_ref[...]
             col_ok = (jax.lax.broadcasted_iota(jnp.int32, (Wo2, 1), 0)
                       < Wo)
+            rows = []
             for tt in range(TR):
                 acc = jnp.zeros((Wo2, Cout), jnp.float32)
                 for j in range(n_j):
@@ -196,6 +214,66 @@ def stem_conv_pallas(image: jnp.ndarray,
                                 acc.astype(out_ref.dtype),
                                 jnp.asarray(fill_f, out_ref.dtype))
                 out_ref[0, tt] = val
+                rows.append(val)
+
+            if pool:
+                # MaxPool2d(3, 2, 1) over the conv rows just produced.
+                # Row taps {2p-1, 2p, 2p+1}: the -1 tap of the block's
+                # first pooled row is the previous block's last conv row
+                # (carried in scratch; -inf-like fill at the frame top).
+                # Column taps: adjacent sublanes pack into one 32-bit
+                # lane under a bf16->int32 bitcast, so the stride-2
+                # even/odd split is elementwise - no strided access.
+                prev = jnp.where(r0 == 0,
+                                 jnp.full((Wo2, Cout), fill_f,
+                                          jnp.bfloat16),
+                                 carry[...])
+                for p in range(TR // 2):
+                    above = rows[2 * p - 1] if p > 0 else prev
+                    rm = jnp.maximum(jnp.maximum(rows[2 * p],
+                                                 rows[2 * p + 1]), above)
+                    xi = pltpu.bitcast(rm, jnp.int32)   # (Wo2//2, Cout)
+                    even = pltpu.bitcast(
+                        (xi & 0xFFFF).astype(jnp.uint16), jnp.bfloat16)
+                    odd = pltpu.bitcast(
+                        ((xi >> 16) & 0xFFFF).astype(jnp.uint16),
+                        jnp.bfloat16)
+                    # odd[o-1] via a 32-bit roll of the packed pairs
+                    # (sub-32-bit rotates are unsupported)
+                    osh = pltpu.bitcast(
+                        ((pltpu.roll(xi, 1, 0) >> 16) & 0xFFFF
+                         ).astype(jnp.uint16), jnp.bfloat16)
+                    first = (jax.lax.broadcasted_iota(
+                        jnp.int32, (Wo2 // 2, 1), 0) == 0)
+                    osh = jnp.where(first,
+                                    jnp.asarray(fill_f, jnp.bfloat16),
+                                    osh)
+                    pm = jnp.maximum(jnp.maximum(even, odd), osh)
+                    pool_ref[0, p] = pm[:Wp2]
+                carry[...] = rows[TR - 1]
+
+    scratch = [pltpu.VMEM((dma_pairs, SU, n_pairs_w), jnp.bfloat16),
+               pltpu.SemaphoreType.DMA(())]
+    out_shapes = jax.ShapeDtypeStruct((B, n_blocks_out * TR, Wo2, Cout),
+                                      jnp.bfloat16)
+    out_specs = pl.BlockSpec((1, TR, Wo2, Cout), lambda b, r: (b, r, 0, 0))
+    if pool:
+        # The pooled rows tile exactly (TR selection above); the pure-
+        # fill canvas blocks (r >= n_blocks) clamp onto the last real
+        # pooled block, which Mosaic treats as a consecutive revisit -
+        # the kernel leaves the buffer untouched and it is rewritten
+        # unchanged.
+        out_shapes = (out_shapes,
+                      jax.ShapeDtypeStruct((B, Hp2, Wp2, Cout),
+                                           jnp.bfloat16))
+        out_specs = (out_specs,
+                     pl.BlockSpec((1, TR // 2, Wp2, Cout),
+                                  lambda b, r: (b, min(r, n_blocks - 1)
+                                                if isinstance(r, int)
+                                                else jnp.minimum(
+                                                    r, n_blocks - 1),
+                                                0, 0)))
+        scratch += [pltpu.VMEM((Wo2, Cout), jnp.bfloat16)]
 
     out = pl.pallas_call(
         kern,
@@ -207,14 +285,9 @@ def stem_conv_pallas(image: jnp.ndarray,
             pl.BlockSpec((1, Cout), lambda b, r: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, TR, Wo2, Cout),
-                               lambda b, r: (b, r, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, n_blocks_out * TR, Wo2, Cout),
-                                       jnp.bfloat16),
-        scratch_shapes=[
-            pltpu.VMEM((dma_pairs, SU, n_pairs_w), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=scratch,
         interpret=interpret,
     )(x, w_slots, b_row)
 
