@@ -43,7 +43,13 @@ def _scatter_kernel_slots(kernel: jnp.ndarray, k: int, n_q: int,
     """(k, k, Cin, Cout) conv kernel -> (n_j, n_q*su, Cout) im2col slot
     matrices, one per col-pair shift j.  Slot (q, u) with
     u = e*(2*Cin) + w2*Cin + ch taps dy = 2q + e - 1, dx = 2j + w2;
-    out-of-range taps and the sublane padding u >= 4*Cin are zero."""
+    out-of-range taps and the sublane padding u >= 4*Cin are zero.
+
+    (A round-3 variant moved the j shifts into host-side stacked operand
+    copies to avoid Mosaic's unaligned lane slices - it measured WORSE:
+    +0.6 ms in-kernel from the 4x operand DMA and +1.5 ms of host
+    stacking copies.  The per-row dot's N=32 output lanes, not the lane
+    shifts, bound this kernel.)"""
     Cin, Cout = kernel.shape[2], kernel.shape[3]
     w = jnp.zeros((n_j, n_q, su, Cout), kernel.dtype)
     for q in range(n_q):
