@@ -180,7 +180,33 @@ def stem_conv_pallas(image: jnp.ndarray,
         else:
             (out_ref, buf, sem), pool_ref = refs, None
         bb = pl.program_id(0)
-        r0 = pl.program_id(1) * TR
+        nr = pl.num_programs(1)
+        rb = pl.program_id(1)
+        r0 = rb * TR
+        step = bb * nr + rb
+
+        def dma_in(slot, bb_, rb_):
+            return pltpu.make_async_copy(
+                x_ref.at[bb_, pl.ds(rb_ * TR, dma_pairs), :, :],
+                buf.at[slot], sem.at[slot])
+
+        slot = jax.lax.rem(step, 2)
+
+        @pl.when((step == 0) & (r0 < Ho))
+        def _():
+            dma_in(0, bb, rb).start()
+
+        # prefetch the next computing block's window (skip fill blocks)
+        nxt = step + 1
+
+        @pl.when(nxt < pl.num_programs(0) * nr)
+        def _():
+            bb2 = nxt // nr
+            rb2 = jax.lax.rem(nxt, nr)
+
+            @pl.when(rb2 * TR < Ho)
+            def _():
+                dma_in(jax.lax.rem(nxt, 2), bb2, rb2).start()
 
         @pl.when(r0 >= Ho)
         def _():
@@ -188,17 +214,13 @@ def stem_conv_pallas(image: jnp.ndarray,
 
         @pl.when(r0 < Ho)
         def _():
-            dma = pltpu.make_async_copy(
-                x_ref.at[bb, pl.ds(r0, dma_pairs), :, :],
-                buf, sem)
-            dma.start()
-            dma.wait()
+            dma_in(slot, bb, rb).wait()
 
             # im2col rows: output row r0+t taps stored pair-rows
             # t..t+n_q-1 (offset-0 sublane concat of full SU blocks); the
             # n_j col-pair shifts become lane-sliced matmul operands
             # accumulated below, so no concatenation ever mixes offsets.
-            t = jnp.concatenate([buf[q:q + TR] for q in range(n_q)],
+            t = jnp.concatenate([buf[slot, q:q + TR] for q in range(n_q)],
                                 axis=1)         # (TR, n_q*SU, n_pairs_w)
 
             b = b_ref[...]
@@ -258,8 +280,8 @@ def stem_conv_pallas(image: jnp.ndarray,
                     pool_ref[0, p] = pm[:Wp2]
                 carry[...] = rows[TR - 1]
 
-    scratch = [pltpu.VMEM((dma_pairs, SU, n_pairs_w), jnp.bfloat16),
-               pltpu.SemaphoreType.DMA(())]
+    scratch = [pltpu.VMEM((2, dma_pairs, SU, n_pairs_w), jnp.bfloat16),
+               pltpu.SemaphoreType.DMA((2,))]
     out_shapes = jax.ShapeDtypeStruct((B, n_blocks_out * TR, Wo2, Cout),
                                       jnp.bfloat16)
     out_specs = pl.BlockSpec((1, TR, Wo2, Cout), lambda b, r: (b, r, 0, 0))
