@@ -184,27 +184,39 @@ def roi_max_pool_pallas(feature: jnp.ndarray,
                roiw_ref, feat_ref, out_ref, win_scratch, sems):
         b = pl.program_id(0)
         c0 = pl.program_id(1) * kc
+        # Window slots alternate on the GLOBAL window index so the
+        # prefetch chain crosses program boundaries: each program's
+        # first window is already in flight when it starts (the
+        # per-program cold start cost ~10 us x B x n_chunks).
+        step = b * n_chunks + pl.program_id(1)
+        g0 = step * kc
 
-        def get_dma(slot, j):
-            k = c0 + j
+        def get_dma(slot, b_, k_):
             return pltpu.make_async_copy(
-                feat_ref.at[b,
-                            pl.ds(rshd_ref[b, k] * 8, win_h),
-                            pl.ds(rswd_ref[b, k] * (align * C), lane_w)],
+                feat_ref.at[b_,
+                            pl.ds(rshd_ref[b_, k_] * 8, win_h),
+                            pl.ds(rswd_ref[b_, k_] * (align * C), lane_w)],
                 win_scratch.at[slot],
                 sems.at[slot])
 
-        get_dma(0, 0).start()
+        @pl.when(step == 0)
+        def _():
+            get_dma(0, b, c0).start()
 
         def body(j, _):
             k = c0 + j
-            slot = j % 2
+            slot = jax.lax.rem(g0 + j, 2)
 
-            @pl.when(j + 1 < kc)
+            nxt = g0 + j + 1
+
+            @pl.when(nxt < B * n_chunks * kc)
             def _():
-                get_dma((j + 1) % 2, j + 1).start()
+                step2 = nxt // kc
+                get_dma(jax.lax.rem(nxt, 2), step2 // n_chunks,
+                        jax.lax.rem(step2, n_chunks) * kc
+                        + jax.lax.rem(nxt, kc)).start()
 
-            get_dma(slot, j).wait()
+            get_dma(slot, b, k).wait()
             # Rotate out the alignment residues (dynamic rotate handles
             # 32-bit lanes only, hence the f32 cast; shifts must be
             # non-negative).
