@@ -403,6 +403,7 @@ def test_swin_v1_attention_matches_torch(rng):
     np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_swin_v1_converter_structure(rng):
     """A synthetic timm swin-V1 state dict converts onto the flax template
     exactly (auto-detected v1 blocks, norm-first merging)."""

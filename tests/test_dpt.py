@@ -1,6 +1,8 @@
 """Smoke tests for the DPT-Large SML variant."""
 import dataclasses
 
+import pytest
+
 
 
 import numpy as np
@@ -35,6 +37,7 @@ def test_dpt_forward_shapes_and_clamps(rng):
     assert np.asarray(scales).min() >= 1.0 - 1e-6
 
 
+@pytest.mark.slow
 def test_dpt_pos_embed_resizes_to_input(rng):
     """Different input sizes reuse the same params (pos embed resized at
     trace time, backbones/vit.py:16-31)."""
@@ -61,6 +64,7 @@ def test_dpt_param_count():
     assert 2.8e8 < n < 4.0e8, n
 
 
+@pytest.mark.slow
 def test_beit_backbone_forward(rng):
     cfg = tiny_dpt()
     cfg = dataclasses.replace(cfg, backbone="beit")
@@ -113,6 +117,7 @@ def test_swin_v1_backbone_forward(rng):
     assert "logit_scale" not in blk and "cpb_fc1" not in blk
 
 
+@pytest.mark.slow
 def test_dpt_hybrid_forward(rng):
     """dpt_hybrid (vitb_rn50_384): ResNetV2 taps at /4 and /8, token
     hooks at /16 and /32; full pyramid through the scratch."""

@@ -163,7 +163,11 @@ def test_sml_param_structure():
     assert 10e6 < n_params < 25e6, n_params
 
 
-@pytest.mark.parametrize("batch,k", [(1, 4), (2, 3)])
+@pytest.mark.parametrize(
+    "batch,k",
+    [(1, 4),
+     # second full-RCNet compile ~30 s on one core: slow tier
+     pytest.param(2, 3, marks=pytest.mark.slow)])
 def test_rcnet_forward_shapes(rng, batch, k):
     cfg = RCNetConfig(patch_size=(64, 32))
     model = RCNet(config=cfg)
@@ -223,6 +227,7 @@ def test_decoder_phase_tail_matches_literal(rng):
                                atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_rcnet_batchnorm_training_mode(rng):
     cfg = RCNetConfig(patch_size=(64, 32))
     model = RCNet(config=cfg)
@@ -238,6 +243,7 @@ def test_rcnet_batchnorm_training_mode(rng):
     assert "batch_stats" in updates
 
 
+@pytest.mark.slow
 def test_rcnet_multiresolution_outputs(rng):
     """n_resolution>1 (networks.py:678-778): the decoder emits the
     deep->shallow logits list; the default return stays the
