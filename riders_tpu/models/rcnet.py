@@ -154,6 +154,7 @@ class MultiScaleDecoder(nn.Module):
     dtype: Dtype = jnp.float32
     phase_tail: Optional[bool] = None
     lane_decode: Optional[bool] = None
+    lane_tail: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, skips: Sequence[jnp.ndarray],
@@ -186,12 +187,40 @@ class MultiScaleDecoder(nn.Module):
             return self._decode_lane(
                 x, skips, interpret=jax.default_backend() == "cpu")
 
+        # Hybrid "lane tail" (OPT-IN, measured NEGATIVE): XLA convs for
+        # the deep stages (deconv4..2) and the lane-major Pallas kernels
+        # from deconv1 through the deconv0/output0 phase tail.  Same-
+        # session A/B: ZJU 412.4 -> 371.7 fps, NTU 564.4 -> 505.8.  The
+        # round-3 trace shows why: XLA's patch-minor fused tail convs
+        # already run at ~110 TF/s (55% MXU; the hlo_stats FLOP column
+        # proves compare_select_fusion.198 fuses BOTH tail phase convs),
+        # while the lane kernels measure 40-50% on these shapes and add
+        # to_lane conversion pads - see PERF.md round 3.  Kept for
+        # experimentation: RIDERS_LANE_TAIL=1 or lane_tail=True.
+        tail = self.lane_tail
+        if tail is None:
+            import os
+            tail = (os.environ.get("RIDERS_LANE_TAIL", "0") == "1"
+                    and self.dtype == jnp.bfloat16
+                    and jax.default_backend() not in ("cpu",))
+        tail = (tail and not train and not self.is_initializing()
+                and self.n_resolution == 1 and self.use_batch_norm
+                and "leaky_relu" in self.activation
+                and x.shape[0] % 128 == 0
+                and len(skips) >= 1
+                and tuple(self.output_shape) == (2 * skips[0].shape[-3],
+                                                 2 * skips[0].shape[-2])
+                and self.output_channels == 1)
+
         h = x
         outputs = []
         up_prev = None
         # skips ordered shallow->deep; walk from the deepest.
         for i, feat in enumerate(self.n_filters[:-1]):
             d = 4 - i
+            if tail and d == 1:
+                return self._decode_lane_tail(
+                    h, skips[0], interpret=jax.default_backend() == "cpu")
             skip = skips[len(skips) - 1 - i]
             if up_prev is not None:
                 # Reference concat order: encoder skip first, then the
@@ -280,6 +309,75 @@ class MultiScaleDecoder(nn.Module):
         o = phase_conv(z, phase_compose_3x3(k_out))
         return depth_to_space2(o.astype(self.dtype), self.output_channels)
 
+    def _decode_lane_tail(self, h: jnp.ndarray, skip1: jnp.ndarray,
+                          interpret: bool = False) -> jnp.ndarray:
+        """Lane-major finish of the decoder from deconv1 on.
+
+        h: (B*K, h2, w2, C) - the XLA deconv2 output; skip1: the pooled
+        /2-scale skip.  Runs deconv1 (upconv + fusion conv) and the
+        deconv0 + output0 phase tail in the (H, W, C, N) Pallas kernels
+        (ops/pallas/lane_decoder.py); the conversion transposes replace
+        the relayout copies XLA inserts for its patch-minor conv layout,
+        so the switch costs no extra data movement."""
+        from riders_tpu.ops.pallas import lane_decoder as LD
+
+        p = self.variables["params"]
+        st = self.variables["batch_stats"]
+        slope = 0.2
+        th, tw = skip1.shape[-3], skip1.shape[-2]
+
+        pd, sd = p["deconv1"], st["deconv1"]
+        k_up = pd["deconv"]["conv"]["conv"]["kernel"]
+        sb_up = LD.bn_fold(pd["deconv"]["conv"]["bn"],
+                           sd["deconv"]["conv"]["bn"])
+        hl = LD.to_lane(h)
+        if (th, tw) == (2 * h.shape[-3], 2 * h.shape[-2]):
+            up = LD.lane_upconv2x(hl, k_up, *sb_up, slope,
+                                  interpret=interpret)
+        else:
+            up = LD.lane_conv3x3(
+                [LD.nearest_resize_lane(hl, (th, tw))], [k_up],
+                *sb_up, slope, interpret=interpret)
+        f = int(k_up.shape[3])
+        k_f = pd["conv"]["conv"]["kernel"]
+        sb_f = LD.bn_fold(pd["conv"]["bn"], sd["conv"]["bn"])
+        h1 = LD.lane_conv3x3(
+            [up, LD.to_lane(skip1)], [k_f[:, :, :f], k_f[:, :, f:]],
+            *sb_f, slope, interpret=interpret)
+        return self._lane_phase_tail(h1, interpret)
+
+    def _lane_phase_tail(self, h1: jnp.ndarray, interpret: bool
+                         ) -> jnp.ndarray:
+        """deconv0 + output0 as depth-to-space-composed phase convs on a
+        lane-major (h+2, w+2, C, N) tensor (shared by _decode_lane and
+        _decode_lane_tail)."""
+        from riders_tpu.ops.pallas import lane_decoder as LD
+        from riders_tpu.models.layers import (depth_to_space2,
+            nearest2x_phase_kernel, phase_compose_3x3)
+
+        p = self.variables["params"]
+        st = self.variables["batch_stats"]
+        slope = 0.2
+        p0, s0 = p["deconv0"], st["deconv0"]
+        k_up0 = nearest2x_phase_kernel(
+            p0["deconv"]["conv"]["conv"]["kernel"].astype(jnp.float32))
+        g, b = LD.bn_fold(p0["deconv"]["conv"]["bn"],
+                          s0["deconv"]["conv"]["bn"])
+        u = LD.lane_conv3x3([h1], [k_up0], jnp.tile(g, 4), jnp.tile(b, 4),
+                            slope, interpret=interpret)
+        k_f0 = phase_compose_3x3(
+            p0["conv"]["conv"]["kernel"].astype(jnp.float32))
+        g, b = LD.bn_fold(p0["conv"]["bn"], s0["conv"]["bn"])
+        m = LD.lane_conv3x3([u], [k_f0], jnp.tile(g, 4), jnp.tile(b, 4),
+                            slope, interpret=interpret)
+        k_o = phase_compose_3x3(
+            p["output0"]["conv"]["kernel"].astype(jnp.float32))
+        k_o = jnp.pad(k_o, ((0, 0), (0, 0), (0, 0), (0, 4)))  # Co 4 -> 8
+        o = LD.lane_conv3x3([m], [k_o], None, None, None, out_pad=0,
+                            interpret=interpret)
+        o = jnp.transpose(o[:, :, :4], (3, 0, 1, 2))  # (N, h/2, w/2, 4)
+        return depth_to_space2(o, 1).astype(self.dtype)
+
     def _decode_lane(self, x: jnp.ndarray, skips: Sequence[jnp.ndarray],
                      interpret: bool = False) -> jnp.ndarray:
         """Whole-decoder fast path in lane-major (H, W, C, N) layout
@@ -324,28 +422,7 @@ class MultiScaleDecoder(nn.Module):
         # plain 3x3 convs on the (h/2-grid, 4F, N) phase tensor, so the
         # full-resolution map never exists - one cheap 1-channel
         # depth-to-space at the very end.
-        from riders_tpu.models.layers import (depth_to_space2,
-            nearest2x_phase_kernel, phase_compose_3x3)
-
-        p0, s0 = p["deconv0"], st["deconv0"]
-        k_up0 = nearest2x_phase_kernel(
-            p0["deconv"]["conv"]["conv"]["kernel"].astype(jnp.float32))
-        g, b = LD.bn_fold(p0["deconv"]["conv"]["bn"],
-                          s0["deconv"]["conv"]["bn"])
-        u = LD.lane_conv3x3([h], [k_up0], jnp.tile(g, 4), jnp.tile(b, 4),
-                            slope, interpret=interpret)
-        k_f0 = phase_compose_3x3(
-            p0["conv"]["conv"]["kernel"].astype(jnp.float32))
-        g, b = LD.bn_fold(p0["conv"]["bn"], s0["conv"]["bn"])
-        m = LD.lane_conv3x3([u], [k_f0], jnp.tile(g, 4), jnp.tile(b, 4),
-                            slope, interpret=interpret)
-        k_o = phase_compose_3x3(
-            p["output0"]["conv"]["kernel"].astype(jnp.float32))
-        k_o = jnp.pad(k_o, ((0, 0), (0, 0), (0, 0), (0, 4)))  # Co 4 -> 8
-        o = LD.lane_conv3x3([m], [k_o], None, None, None, out_pad=0,
-                            interpret=interpret)
-        o = jnp.transpose(o[:, :, :4], (3, 0, 1, 2))  # (N, h/2, w/2, 4)
-        return depth_to_space2(o, 1).astype(self.dtype)
+        return self._lane_phase_tail(h, interpret)
 
 
 class RCNet(nn.Module):

@@ -204,6 +204,16 @@ def _fit(th, tw, nb, vmem_fn, gran_h=1, min_tw=2):
     return th, tw, nb
 
 
+def _nb0(N: int) -> int:
+    """Largest lane-block size that divides N and fits one vreg set
+    (<= 512 lanes); keeps nn * nb == N exact for any patch-bucket N
+    (e.g. the NTU bench's B*K = 768 -> 384)."""
+    for d in range(min(N, 512), 0, -1):
+        if N % d == 0:
+            return d
+    return N
+
+
 def _linear_idx(step, ni, nj):
     j = jax.lax.rem(step, nj)
     i = jax.lax.rem(step // nj, ni)
@@ -324,7 +334,7 @@ def lane_conv3x3(xs: Sequence[jnp.ndarray], ks: Sequence[jnp.ndarray],
         zs = (4 * (th + 10) + 8 * tw) * co * nb * 2
         return ins + outs + zs
 
-    nb0 = N if N <= 512 else 512
+    nb0 = _nb0(N)
     th0 = min(max(2, (H // 2) * 2), 12)
     tw0 = min(max(2, (W // 2) * 2), 10)
     th, tw, nb = _fit(th0, tw0, nb0, vmem, gran_h=2)
@@ -466,7 +476,7 @@ def lane_upconv2x(x: jnp.ndarray, k: jnp.ndarray, scale: jnp.ndarray,
         zs = (2 * (th + 6) + 4 * tw) * f * nb * 2
         return ins + outs + zs
 
-    nb0 = N if N <= 512 else 512
+    nb0 = _nb0(N)
     th, tw, nb = _fit(min(H, 12), min(W, 10), nb0, vmem, gran_h=2)
     tw = max(2, tw - tw % 2)
     ni, nj, nn = -(-H // th), -(-W // tw), N // nb

@@ -91,3 +91,35 @@ def test_nearest_resize_lane_matches_resize2d():
     got_i = np.transpose(np.asarray(got, np.float32)[1:-1, 1:-1],
                          (3, 0, 1, 2))
     np.testing.assert_allclose(got_i, want, atol=1e-6)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("patch,skips_hw", [
+    ((240, 100), [(120, 50), (60, 25), (30, 12), (15, 6)]),   # ZJU
+    ((150, 50), [(75, 25), (37, 12), (18, 6), (9, 3)]),       # NTU
+])
+def test_lane_tail_matches_xla_decoder(patch, skips_hw):
+    """Hybrid decode (XLA deconv4..2 + lane-kernel deconv1/tail) parity."""
+    N = 128
+    lh, lw = patch[0] // 32, patch[1] // 32
+    x = jax.random.normal(jax.random.PRNGKey(0), (N, lh, lw, 256),
+                          jnp.float32)
+    skips = [jax.random.normal(jax.random.PRNGKey(i + 1), (N, h, w, c),
+                               jnp.float32)
+             for i, ((h, w), c) in enumerate(
+                 zip(skips_hw, [32, 64, 128, 128]))]
+    dec = MultiScaleDecoder((256, 128, 64, 32, 16), patch, 1, "leaky_relu",
+                            True, dtype=jnp.bfloat16, lane_decode=False,
+                            lane_tail=False, phase_tail=False)
+    variables = dec.init(jax.random.PRNGKey(42), x, skips)
+    want = np.asarray(dec.apply(variables, x, skips), np.float32)
+
+    hyb = MultiScaleDecoder((256, 128, 64, 32, 16), patch, 1,
+                            "leaky_relu", True, dtype=jnp.bfloat16,
+                            lane_decode=False, lane_tail=True,
+                            phase_tail=False)
+    got = np.asarray(hyb.apply(variables, x, skips), np.float32)
+
+    assert got.shape == want.shape
+    rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-6)
+    assert rel < 0.05, rel
