@@ -49,26 +49,28 @@ def _bin_plan(roi_static: int, out_n: int, win_n: int):
 
 
 def _h_bin_max(win: jnp.ndarray, roi_static: int, out_n: int,
-               row_offset: int = 0) -> jnp.ndarray:
-    """Bin max along axis 0 (rows), static slices only; `row_offset`
-    shifts all bins by the DMA alignment residue."""
-    a, widths = _bin_plan(roi_static, out_n, win.shape[0] - row_offset)
+               row_offset: int = 0, axis: int = 0) -> jnp.ndarray:
+    """Bin max along `axis` with static slices only; `row_offset` shifts
+    all bins by the DMA alignment residue."""
+    a, widths = _bin_plan(roi_static, out_n, win.shape[axis] - row_offset)
     a = a + row_offset
     offs = a - np.arange(out_n)
     if (offs == offs[0]).all() and (widths == widths[0]).all():
         j = int(offs[0])
-        out = jax.lax.slice_in_dim(win, j, j + out_n, axis=0)
+        out = jax.lax.slice_in_dim(win, j, j + out_n, axis=axis)
         for t in range(1, int(widths[0])):
             out = jnp.maximum(out, jax.lax.slice_in_dim(
-                win, j + t, j + t + out_n, axis=0))
+                win, j + t, j + t + out_n, axis=axis))
         return out
     outs = []
     for pi in range(out_n):
-        acc = win[int(a[pi]):int(a[pi]) + 1]
+        acc = jax.lax.slice_in_dim(win, int(a[pi]), int(a[pi]) + 1,
+                                   axis=axis)
         for t in range(1, int(widths[pi])):
-            acc = jnp.maximum(acc, win[int(a[pi]) + t:int(a[pi]) + t + 1])
+            acc = jnp.maximum(acc, jax.lax.slice_in_dim(
+                win, int(a[pi]) + t, int(a[pi]) + t + 1, axis=axis))
         outs.append(acc)
-    return jnp.concatenate(outs, axis=0)
+    return jnp.concatenate(outs, axis=axis)
 
 
 def _w_bin_max_flat(rows: jnp.ndarray, roi_static: int, out_n: int,
@@ -100,14 +102,17 @@ def _w_bin_max_flat(rows: jnp.ndarray, roi_static: int, out_n: int,
 
 def roi_window_pad(box_size: Tuple[int, int], scale: float,
                    channels: int) -> Tuple[int, int]:
-    """(win_h, win_w) padding this kernel needs beyond the feature extent
-    (8-aligned row window; lane-128-aligned (W*C) window).  A producer
-    that writes its output into a (H + win_h, W + win_w) _NEG-filled
-    canvas lets `roi_max_pool_pallas(..., true_hw=...)` consume it with
-    zero slice/pad/relayout passes."""
+    """(win_h, win_w) padding the pool kernels need beyond the feature
+    extent (8-aligned row window; win_w aligned for BOTH kernel window
+    geometries: the flat kernel's lane-128 (W*C) offsets and the 4D
+    kernel's sublane-8 W offsets).  A producer that writes its output
+    into a (H + win_h, W + win_w) _NEG-filled canvas lets
+    `roi_max_pool_pallas*(..., true_hw=...)` consume it with zero
+    slice/pad/relayout passes."""
     win_h = -(-(_max_roi(box_size[0], scale) + 8) // 8) * 8
     align = 128 // math.gcd(channels, 128)
-    win_w = -(-(_max_roi(box_size[1], scale) + align) // align) * align
+    step = align * 8 // math.gcd(align, 8)  # lcm(align, 8)
+    win_w = -(-(_max_roi(box_size[1], scale) + step) // step) * step
     return win_h, win_w
 
 
@@ -297,6 +302,182 @@ def roi_pool_pyramid_pallas(latent: jnp.ndarray,
     latent_out = (ph // lat_stride, pw // lat_stride)
     pooled_latent = roi_max_pool_pallas(latent, boxes, 1.0 / lat_stride,
                                         latent_out, patch_size, interpret)
+    return pooled_latent, pooled_skips
+
+
+# ---------------------------------------------------------------------------
+# 4D-native variant: consumes the (B, H, W, C) feature (or the stem's
+# _NEG-padded canvas) DIRECTLY and emits (B*K, out_h, out_w, C) in the
+# standard conv layout.  In a rank>=3 block only the LAST TWO dims are
+# tiled, so the window DMA's row offsets live on an untiled dim (exact,
+# no 8-alignment, no residue roll) and the W offsets 8-align with a
+# single dynamic sublane roll - the flat kernel's f32 lane roll
+# disappears.  This removes the canvas->flat relayout copies and the
+# skip pad+flatten chains on the pool's input side (~3 ms/call at the
+# ZJU geometry, PERF.md round 3) at the price of lane-padded window
+# DMAs for C < 128 (4x bytes at C=32).
+# ---------------------------------------------------------------------------
+
+
+def roi_max_pool_pallas4d(feature: jnp.ndarray,
+                          boxes: jnp.ndarray,
+                          scale: float,
+                          out_size: Tuple[int, int],
+                          box_size: Tuple[int, int],
+                          interpret: bool = False,
+                          true_hw: Tuple[int, int] | None = None
+                          ) -> jnp.ndarray:
+    """Batched RoI max pool over the 4D feature, identical semantics to
+    `roi_max_pool_pallas` (torchvision roi_pool, RCNet/networks.py:418-433).
+
+    feature: (B, H, W, C); boxes: (B, K, 4) [x1, y1, x2, y2].  With
+    `true_hw=(H, W)`, `feature` is already a _NEG-padded canvas of shape
+    (B, rows >= H + win_h, >= W + win_w, C) (see roi_window_pad) and is
+    consumed with no data movement at all.
+    Returns (B, K, out_h, out_w, C) in the feature dtype.
+    """
+    B, C = feature.shape[0], feature.shape[-1]
+    H, W = true_hw if true_hw is not None else feature.shape[1:3]
+    K = boxes.shape[1]
+    out_h, out_w = out_size
+    win_h, win_w = roi_window_pad(box_size, scale, C)
+    roi_cases_h = _possible_rois(box_size[0], scale)
+    roi_cases_w = _possible_rois(box_size[1], scale)
+    ext_h = max(roi_cases_h)  # untiled row extent: exact, no alignment
+
+    if true_hw is not None:
+        assert feature.shape[2] >= W + win_w, (feature.shape, W, win_w)
+        assert feature.shape[1] >= H + ext_h, (feature.shape, H, ext_h)
+        canvas = feature
+    else:
+        canvas = jnp.pad(feature,
+                         ((0, 0), (0, ext_h), (0, win_w), (0, 0)),
+                         constant_values=jnp.asarray(_NEG, feature.dtype))
+
+    (rs_h_div, resid_h, rs_w_div, resid_w, roi_h, roi_w) = _box_params(
+        boxes, scale, H, W, 8)
+    rs_h = rs_h_div * 8 + resid_h  # rows are untiled: exact offsets
+
+    # Chunk K so the double-buffered PADDED output block fits VMEM.
+    pad_w = -(-out_w // 8) * 8
+    pad_c = -(-C // 128) * 128
+    bytes_per_point = out_h * pad_w * pad_c * feature.dtype.itemsize
+    kc = K
+    while kc > 1 and kc * bytes_per_point > 2 * 1024 * 1024:
+        kc //= 2
+    while K % kc != 0:
+        kc -= 1
+    n_chunks = K // kc
+
+    def kernel(rsh_ref, rswd_ref, residw_ref, roih_ref, roiw_ref,
+               feat_ref, out_ref, win_scratch, sems):
+        b = pl.program_id(0)
+        c0 = pl.program_id(1) * kc
+        step = b * n_chunks + pl.program_id(1)
+        g0 = step * kc
+
+        def get_dma(slot, b_, k_):
+            return pltpu.make_async_copy(
+                feat_ref.at[b_,
+                            pl.ds(rsh_ref[b_, k_], ext_h),
+                            pl.ds(rswd_ref[b_, k_] * 8, win_w), :],
+                win_scratch.at[slot],
+                sems.at[slot])
+
+        @pl.when(step == 0)
+        def _():
+            get_dma(0, b, c0).start()
+
+        def body(j, _):
+            k = c0 + j
+            slot = jax.lax.rem(g0 + j, 2)
+            nxt = g0 + j + 1
+
+            @pl.when(nxt < B * n_chunks * kc)
+            def _():
+                step2 = nxt // kc
+                get_dma(jax.lax.rem(nxt, 2), step2 // n_chunks,
+                        jax.lax.rem(step2, n_chunks) * kc
+                        + jax.lax.rem(nxt, kc)).start()
+
+            get_dma(slot, b, k).wait()
+            # One sublane roll clears the W alignment residue (rows need
+            # none); f32 for the dynamic rotate, as in the flat kernel.
+            win = win_scratch[slot].astype(jnp.float32)
+            win = pltpu.roll(win, win_w - residw_ref[b, k], 1)
+
+            def h_cases(arr):
+                variants = [_h_bin_max(arr, rc, out_h, axis=0)
+                            for rc in roi_cases_h]
+                out = variants[0]
+                for rc, v in zip(roi_cases_h[1:], variants[1:]):
+                    out = jnp.where(roih_ref[b, k] == rc, v, out)
+                return out
+
+            def w_cases(arr):
+                variants = [_h_bin_max(arr, rc, out_w, axis=1)
+                            for rc in roi_cases_w]
+                out = variants[0]
+                for rc, v in zip(roi_cases_w[1:], variants[1:]):
+                    out = jnp.where(roiw_ref[b, k] == rc, v, out)
+                return out
+
+            pooled = w_cases(h_cases(win))
+            pooled = jnp.where(pooled < _NEG * 0.5,
+                               jnp.asarray(0.0, pooled.dtype), pooled)
+            out_ref[j] = pooled.astype(out_ref.dtype)
+            return 0
+
+        jax.lax.fori_loop(0, kc, body, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(B, n_chunks),
+        in_specs=[
+            pl.BlockSpec(canvas.shape, lambda b, c, *_: (0, 0, 0, 0),
+                         memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((kc, out_h, out_w, C),
+                               lambda b, c, *_: (b * n_chunks + c, 0, 0,
+                                                 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, ext_h, win_w, C), feature.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B * K, out_h, out_w, C),
+                                       feature.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(rs_h, rs_w_div, resid_w, roi_h, roi_w, canvas)
+    return out.reshape(B, K, out_h, out_w, C)
+
+
+def roi_pool_pyramid_pallas4d(latent: jnp.ndarray,
+                              skips: Sequence[jnp.ndarray],
+                              boxes: jnp.ndarray,
+                              patch_size: Tuple[int, int],
+                              interpret: bool = False,
+                              skip1_true_hw: Tuple[int, int] | None = None
+                              ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+    """`roi_pool_pyramid_pallas` through the 4D-native kernel (inference
+    fast path; the differentiable pyramid stays on the flat kernels)."""
+    ph, pw = patch_size
+    pooled_skips = []
+    for i, skip in enumerate(skips):
+        s = 1.0 / (2 ** (i + 1))
+        out = (int(ph * s), int(pw * s))
+        hw = skip1_true_hw if i == 0 else None
+        pooled_skips.append(
+            roi_max_pool_pallas4d(skip, boxes, s, out, patch_size,
+                                  interpret, true_hw=hw))
+    lat_stride = 2 ** (len(skips) + 1)
+    latent_out = (ph // lat_stride, pw // lat_stride)
+    pooled_latent = roi_max_pool_pallas4d(latent, boxes, 1.0 / lat_stride,
+                                          latent_out, patch_size, interpret)
     return pooled_latent, pooled_skips
 
 

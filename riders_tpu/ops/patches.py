@@ -255,10 +255,19 @@ def roi_pool_pyramid_batched(latent: jnp.ndarray,
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
     if use_pallas:
+        import os
         from riders_tpu.ops.pallas.roi_pool import (
-            roi_pool_pyramid_pallas, roi_pool_pyramid_pallas_diff)
+            roi_pool_pyramid_pallas, roi_pool_pyramid_pallas4d,
+            roi_pool_pyramid_pallas_diff)
         if differentiable:
             return roi_pool_pyramid_pallas_diff(
+                latent, skips, boxes, patch_size,
+                skip1_true_hw=skip1_true_hw)
+        if os.environ.get("RIDERS_ROI_4D", "1") == "1":
+            # 4D-native kernel: no canvas->flat / pad+flatten relayouts
+            # on the input side (PERF.md round 3).  RIDERS_ROI_4D=0
+            # restores the flat (rows, W*C) kernel.
+            return roi_pool_pyramid_pallas4d(
                 latent, skips, boxes, patch_size,
                 skip1_true_hw=skip1_true_hw)
         return roi_pool_pyramid_pallas(latent, skips, boxes, patch_size,
