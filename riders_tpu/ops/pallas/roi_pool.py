@@ -463,21 +463,33 @@ def roi_pool_pyramid_pallas4d(latent: jnp.ndarray,
                               interpret: bool = False,
                               skip1_true_hw: Tuple[int, int] | None = None
                               ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
-    """`roi_pool_pyramid_pallas` through the 4D-native kernel (inference
-    fast path; the differentiable pyramid stays on the flat kernels)."""
+    """`roi_pool_pyramid_pallas` routing each level through the 4D-native
+    kernel where Mosaic's DMA rules allow it (inference fast path; the
+    differentiable pyramid stays on the flat kernels).
+
+    Mosaic requires manual-DMA lane slices to be 128-aligned even when
+    they span the full channel dim, so the 4D kernel only serves levels
+    with C % 128 == 0 (skip3/skip4/latent in the production topology);
+    the C=32/64 shallow skips keep the flat (rows, W*C) kernel - which
+    also keeps the stem's pre-padded flat canvas fast path intact."""
     ph, pw = patch_size
+
+    def pool(feat, s, out, hw):
+        if feat.shape[-1] % 128 == 0 and hw is None:
+            return roi_max_pool_pallas4d(feat, boxes, s, out, patch_size,
+                                         interpret)
+        return roi_max_pool_pallas(feat, boxes, s, out, patch_size,
+                                   interpret, true_hw=hw)
+
     pooled_skips = []
     for i, skip in enumerate(skips):
         s = 1.0 / (2 ** (i + 1))
         out = (int(ph * s), int(pw * s))
         hw = skip1_true_hw if i == 0 else None
-        pooled_skips.append(
-            roi_max_pool_pallas4d(skip, boxes, s, out, patch_size,
-                                  interpret, true_hw=hw))
+        pooled_skips.append(pool(skip, s, out, hw))
     lat_stride = 2 ** (len(skips) + 1)
-    latent_out = (ph // lat_stride, pw // lat_stride)
-    pooled_latent = roi_max_pool_pallas4d(latent, boxes, 1.0 / lat_stride,
-                                          latent_out, patch_size, interpret)
+    pooled_latent = pool(latent, 1.0 / lat_stride,
+                         (ph // lat_stride, pw // lat_stride), None)
     return pooled_latent, pooled_skips
 
 

@@ -263,10 +263,13 @@ def roi_pool_pyramid_batched(latent: jnp.ndarray,
             return roi_pool_pyramid_pallas_diff(
                 latent, skips, boxes, patch_size,
                 skip1_true_hw=skip1_true_hw)
-        if os.environ.get("RIDERS_ROI_4D", "1") == "1":
-            # 4D-native kernel: no canvas->flat / pad+flatten relayouts
-            # on the input side (PERF.md round 3).  RIDERS_ROI_4D=0
-            # restores the flat (rows, W*C) kernel.
+        if os.environ.get("RIDERS_ROI_4D", "0") == "1":
+            # Opt-in 4D-native kernel for the C%128==0 pyramid levels
+            # (no pad+flatten relayout on their input side).  Measured
+            # NEUTRAL on the ZJU bench (406.2 flat vs 406.5 hybrid,
+            # same session): Mosaic's 128-lane DMA rule keeps the
+            # expensive C=32/64 shallow skips on the flat kernel, and
+            # the deep levels' relayouts were already cheap (PERF.md).
             return roi_pool_pyramid_pallas4d(
                 latent, skips, boxes, patch_size,
                 skip1_true_hw=skip1_true_hw)

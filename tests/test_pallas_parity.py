@@ -66,6 +66,80 @@ def test_roi_pool_parity_both_geometries(rng, patch, scale, out_size, feat):
 
 
 @pytest.mark.parametrize("patch,scale,out_size,feat", [
+    # ZJU pyramid levels on the padded 720x740 frame
+    ((240, 100), 0.5, (120, 50), (360, 370, 8)),
+    ((240, 100), 1 / 32., (7, 3), (23, 24, 16)),
+    # NTU pyramid levels on the padded 662x690 frame
+    ((150, 50), 0.25, (37, 12), (166, 173, 8)),
+    ((150, 50), 1 / 16., (9, 3), (42, 44, 16)),
+])
+def test_roi_pool_4d_parity_both_geometries(rng, patch, scale, out_size,
+                                            feat):
+    """The 4D-native kernel (no flat relayout) must match the XLA
+    formulation exactly, like the flat kernel."""
+    from riders_tpu.ops.pallas.roi_pool import roi_max_pool_pallas4d
+    H, W, C = feat
+    B, K = 1, 6
+    ph, pw = patch
+    img_h = int(H / scale)
+    img_w = int(W / scale)
+    f = rng.standard_normal((B, H, W, C)).astype(np.float32)
+    cx = rng.integers(pw // 2, img_w - pw // 2, (B, K))
+    cy = rng.integers(ph // 2, img_h - ph // 2, (B, K))
+    boxes = np.stack([cx - pw // 2, cy - ph // 2,
+                      cx + pw // 2, cy + ph // 2], -1).astype(np.float32)
+
+    ours = roi_max_pool_pallas4d(jnp.asarray(f), jnp.asarray(boxes), scale,
+                                 out_size, patch, interpret=True)
+    ref = jax.vmap(lambda fb, bb: roi_max_pool(
+        fb, bb, scale, out_size, patch))(jnp.asarray(f), jnp.asarray(boxes))
+    np.testing.assert_array_equal(np.asarray(ours), np.asarray(ref))
+
+
+def test_roi_pool_4d_true_hw_canvas(rng):
+    """The 4D kernel consuming a pre-padded _NEG canvas (the stem kernel's
+    output form) must match the plain 4D call on the unpadded feature."""
+    from riders_tpu.ops.pallas.roi_pool import (
+        _NEG, roi_max_pool_pallas4d, roi_window_pad)
+    patch, scale, out_size = (240, 100), 0.5, (120, 50)
+    H, W, C = 360, 370, 8
+    B, K = 2, 5
+    ph, pw = patch
+    img_h, img_w = int(H / scale), int(W / scale)
+    f = rng.standard_normal((B, H, W, C)).astype(np.float32)
+    win_h, win_w = roi_window_pad(patch, scale, C)
+    canvas = np.full((B, H + win_h, W + win_w, C), _NEG, np.float32)
+    canvas[:, :H, :W] = f
+    cx = rng.integers(pw // 2, img_w - pw // 2, (B, K))
+    cy = rng.integers(ph // 2, img_h - ph // 2, (B, K))
+    boxes = np.stack([cx - pw // 2, cy - ph // 2,
+                      cx + pw // 2, cy + ph // 2], -1).astype(np.float32)
+
+    ours = roi_max_pool_pallas4d(jnp.asarray(canvas), jnp.asarray(boxes),
+                                 scale, out_size, patch, interpret=True,
+                                 true_hw=(H, W))
+    ref = roi_max_pool_pallas4d(jnp.asarray(f), jnp.asarray(boxes), scale,
+                                out_size, patch, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ours), np.asarray(ref))
+
+
+def test_roi_pool_4d_boxes_at_image_edges(rng):
+    """Boundary clamp parity for the 4D kernel."""
+    from riders_tpu.ops.pallas.roi_pool import roi_max_pool_pallas4d
+    patch, scale, out_size = (48, 32), 0.5, (24, 16)
+    H, W, C = 64, 48, 8
+    f = rng.standard_normal((1, H, W, C)).astype(np.float32)
+    boxes = np.asarray([[[0, 0, 32, 48]],
+                        [[64, 80, 96, 128]]],
+                       np.float32).reshape(1, 2, 4)
+    ours = roi_max_pool_pallas4d(jnp.asarray(f), jnp.asarray(boxes), scale,
+                                 out_size, patch, interpret=True)
+    ref = jax.vmap(lambda fb, bb: roi_max_pool(
+        fb, bb, scale, out_size, patch))(jnp.asarray(f), jnp.asarray(boxes))
+    np.testing.assert_array_equal(np.asarray(ours), np.asarray(ref))
+
+
+@pytest.mark.parametrize("patch,scale,out_size,feat", [
     # ZJU pyramid levels on the padded 720x740 frame (shrunk extents)
     ((240, 100), 0.5, (120, 50), (360, 370, 8)),
     ((240, 100), 1 / 32., (7, 3), (23, 24, 16)),
