@@ -22,6 +22,7 @@ bin [floor(p*b), ceil((p+1)*b)) clamped to the feature extent, empty -> 0.
 from __future__ import annotations
 
 import math
+import os
 from typing import List, Sequence, Tuple
 
 import jax
@@ -255,7 +256,6 @@ def roi_pool_pyramid_batched(latent: jnp.ndarray,
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
     if use_pallas:
-        import os
         from riders_tpu.ops.pallas.roi_pool import (
             roi_pool_pyramid_pallas, roi_pool_pyramid_pallas4d,
             roi_pool_pyramid_pallas_diff)
