@@ -248,8 +248,10 @@ def convert_rcnet_decoder_state_dict(sd):
     (networks.py:582-646) are mapped when present (n_resolution > 1)."""
     dec_p: Dict[str, Any] = {}
     dec_s: Dict[str, Any] = {}
-    for d in (4, 3, 2, 1, 0):
+    for d in (6, 5, 4, 3, 2, 1, 0):
         prefix = f"decoder.deconv{d}"
+        if d > 4 and f"{prefix}.conv.conv.weight" not in sd:
+            continue  # network_depth <= d + 1 (networks.py:519-560)
         block_p: Dict[str, Any] = {}
         block_s: Dict[str, Any] = {}
         up_p, up_s = _convblock(sd, f"{prefix}.deconv.conv", True)

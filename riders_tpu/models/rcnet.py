@@ -143,7 +143,11 @@ class MultiScaleDecoder(nn.Module):
     depth-to-space at the very end.  This removes the two largest ops of
     the ZJU-geometry bench: the (B*K, 240, 100, 16) depth-to-space
     relayout and the full-resolution output conv (PERF.md round 3).
-    ``phase_tail=None`` auto-selects (bf16, TPU, inference, exact-x2)."""
+    ``phase_tail=None`` auto-selects (bf16, TPU, inference, exact-x2).
+
+    ``lane_mode`` ("full" / "tail") opts into the EXPERIMENTAL lane-major
+    Pallas decode paths — measured net-negative on both bench geometries;
+    see riders_tpu/experiments/lane_decode.py for the numbers."""
 
     n_filters: Sequence[int] = (256, 128, 64, 32, 16)
     output_shape: Tuple[int, int] = (240, 100)
@@ -151,87 +155,62 @@ class MultiScaleDecoder(nn.Module):
     activation: str = "leaky_relu"
     use_batch_norm: bool = True
     n_resolution: int = 1
+    output_func: str = "linear"
     dtype: Dtype = jnp.float32
     phase_tail: Optional[bool] = None
-    lane_decode: Optional[bool] = None
-    lane_tail: Optional[bool] = None
+    lane_mode: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, skips: Sequence[jnp.ndarray],
                  train: bool = False) -> jnp.ndarray:
         from riders_tpu.ops.resize import resize2d
 
-        assert 1 <= self.n_resolution < len(self.n_filters)
+        depth = len(self.n_filters)
+        assert depth < 8, "Does not support network depth of 8 or more"
+        # 'upsample' forces multi-scale: the final output IS the x2
+        # upsample of output1 (networks.py:508-510, :761-763).
+        upsample_out = "upsample" in self.output_func
+        n_res = max(self.n_resolution, 2) if upsample_out \
+            else self.n_resolution
+        assert 1 <= n_res < depth
+        assert self.lane_mode in (None, "full", "tail")
         act = activation_fn(self.activation)
+        # Output-conv activation (networks.py:505-506): None for linear
+        # and for a bare 'upsample' (whose output convs are linear).
+        out_act = None if (self.output_func == "upsample"
+                           or "linear" in self.output_func) \
+            else activation_fn(self.output_func)
 
-        # Lane-major Pallas decode (ops/pallas/lane_decoder.py) is
-        # OPT-IN: at the chip's true roofline (v5e, ~200 TF/s bf16) the
-        # XLA decoder convs already run at 60-95% MXU and the lane
-        # kernels' phase-stacked MAC inflation (16/9) nets out slower
-        # (ZJU bench 341 vs 381 fps) - see PERF.md round-3 notes on the
-        # corrected roofline.  Kept for N-in-lanes experimentation.
-        lane = self.lane_decode
-        if lane is None:
-            import os
-            lane = (self.dtype == jnp.bfloat16
-                    and jax.default_backend() not in ("cpu",)
-                    and os.environ.get("RIDERS_LANE_DECODE", "0") == "1")
-        lane = (lane and not train and not self.is_initializing()
-                and self.n_resolution == 1 and self.use_batch_norm
-                and "leaky_relu" in self.activation
-                and x.shape[0] % 128 == 0
-                and tuple(self.output_shape) == (2 * skips[0].shape[-3],
-                                                 2 * skips[0].shape[-2])
-                and self.output_channels == 1)
-        if lane:
-            return self._decode_lane(
-                x, skips, interpret=jax.default_backend() == "cpu")
-
-        # Hybrid "lane tail" (OPT-IN, measured NEGATIVE): XLA convs for
-        # the deep stages (deconv4..2) and the lane-major Pallas kernels
-        # from deconv1 through the deconv0/output0 phase tail.  Same-
-        # session A/B: ZJU 412.4 -> 371.7 fps, NTU 564.4 -> 505.8.  The
-        # round-3 trace shows why: XLA's patch-minor fused tail convs
-        # already run at ~110 TF/s (55% MXU; the hlo_stats FLOP column
-        # proves compare_select_fusion.198 fuses BOTH tail phase convs),
-        # while the lane kernels measure 40-50% on these shapes and add
-        # to_lane conversion pads - see PERF.md round 3.  Kept for
-        # experimentation: RIDERS_LANE_TAIL=1 or lane_tail=True.
-        tail = self.lane_tail
-        if tail is None:
-            import os
-            tail = (os.environ.get("RIDERS_LANE_TAIL", "0") == "1"
-                    and self.dtype == jnp.bfloat16
-                    and jax.default_backend() not in ("cpu",))
-        tail = (tail and not train and not self.is_initializing()
-                and self.n_resolution == 1 and self.use_batch_norm
-                and "leaky_relu" in self.activation
-                and x.shape[0] % 128 == 0
-                and len(skips) >= 1
-                and tuple(self.output_shape) == (2 * skips[0].shape[-3],
-                                                 2 * skips[0].shape[-2])
-                and self.output_channels == 1)
+        if (self.lane_mode == "full" and not train
+                and not self.is_initializing()):
+            from riders_tpu.experiments import lane_decode
+            return lane_decode.decode_full(self, x, skips)
 
         h = x
         outputs = []
         up_prev = None
-        # skips ordered shallow->deep; walk from the deepest.
+        # skips ordered shallow->deep; walk from the deepest
+        # (networks.py:692-758; blocks named deconv{depth-1}..deconv1
+        # here, deconv0 below - deconv6/deconv5 appear at depth 7/6).
         for i, feat in enumerate(self.n_filters[:-1]):
-            d = 4 - i
-            if tail and d == 1:
-                return self._decode_lane_tail(
-                    h, skips[0], interpret=jax.default_backend() == "cpu")
-            skip = skips[len(skips) - 1 - i]
+            d = depth - 1 - i
+            if (self.lane_mode == "tail" and d == 1 and not train
+                    and not self.is_initializing()):
+                from riders_tpu.experiments import lane_decode
+                return lane_decode.decode_tail(self, h, skips[0])
+            si = len(skips) - 1 - i
+            skip = skips[si] if si >= 0 else None
             if up_prev is not None:
                 # Reference concat order: encoder skip first, then the
                 # upsampled coarser output (networks.py:730).
-                skip = jnp.concatenate(
-                    [skip, up_prev.astype(skip.dtype)], axis=-1)
+                skip = up_prev.astype(h.dtype) if skip is None else \
+                    jnp.concatenate(
+                        [skip, up_prev.astype(skip.dtype)], axis=-1)
             h = DecoderBlock(feat, act, self.use_batch_norm, "up",
                              dtype=self.dtype,
                              name=f"deconv{d}")(h, skip=skip, train=train)
-            if d in (3, 2, 1) and self.n_resolution > d:
-                out = ConvBlock(self.output_channels, 3, 1, None, False,
+            if d in (3, 2, 1) and n_res > d:
+                out = ConvBlock(self.output_channels, 3, 1, out_act, False,
                                 dtype=self.dtype,
                                 name=f"output{d}")(h, train)
                 outputs.append(out)
@@ -241,31 +220,47 @@ class MultiScaleDecoder(nn.Module):
             else:
                 up_prev = None
 
+        if upsample_out:
+            # output0 = bilinear x2 of output1; deconv0/output0 unused
+            # (networks.py:761-763).
+            return outputs + [up_prev]
+
         fast = self.phase_tail
         if fast is None:
             fast = (self.dtype == jnp.bfloat16
                     and jax.default_backend() not in ("cpu",))
         fast = (fast and not train and not self.is_initializing()
-                and self.n_resolution == 1
+                and n_res == 1 and out_act is None
                 and tuple(self.output_shape) == (2 * h.shape[-3],
                                                  2 * h.shape[-2])
                 and self.use_batch_norm)
         if not fast:
             if up_prev is not None:
                 # n_resolution > 1: deconv0's skip is the upsampled
-                # 1/2-scale output (networks.py:760-767, n != 0 branch).
+                # 1/2-scale output, plus skips[0] iff the pyramid is as
+                # deep as the decoder (n == 0, networks.py:765-767).
+                skip0 = up_prev if len(skips) != depth else \
+                    jnp.concatenate(
+                        [skips[0], up_prev.astype(skips[0].dtype)],
+                        axis=-1)
                 h = DecoderBlock(self.n_filters[-1], act,
                                  self.use_batch_norm, "up",
                                  dtype=self.dtype, name="deconv0")(
-                                     h, skip=up_prev, train=train)
+                                     h, skip=skip0, train=train)
+            elif len(skips) == depth:
+                # n == 0 at deconv0 (networks.py:769-770).
+                h = DecoderBlock(self.n_filters[-1], act,
+                                 self.use_batch_norm, "up",
+                                 dtype=self.dtype, name="deconv0")(
+                                     h, skip=skips[0], train=train)
             else:
                 h = DecoderBlock(self.n_filters[-1], act,
                                  self.use_batch_norm, "up",
                                  dtype=self.dtype, name="deconv0")(
                                      h, shape=self.output_shape, train=train)
-            out0 = ConvBlock(self.output_channels, 3, 1, None, False,
+            out0 = ConvBlock(self.output_channels, 3, 1, out_act, False,
                              dtype=self.dtype, name="output0")(h, train)
-            if self.n_resolution > 1:
+            if n_res > 1:
                 return outputs + [out0]
             return out0
 
@@ -308,121 +303,6 @@ class MultiScaleDecoder(nn.Module):
         k_out = p["output0"]["conv"]["kernel"].astype(jnp.float32)
         o = phase_conv(z, phase_compose_3x3(k_out))
         return depth_to_space2(o.astype(self.dtype), self.output_channels)
-
-    def _decode_lane_tail(self, h: jnp.ndarray, skip1: jnp.ndarray,
-                          interpret: bool = False) -> jnp.ndarray:
-        """Lane-major finish of the decoder from deconv1 on.
-
-        h: (B*K, h2, w2, C) - the XLA deconv2 output; skip1: the pooled
-        /2-scale skip.  Runs deconv1 (upconv + fusion conv) and the
-        deconv0 + output0 phase tail in the (H, W, C, N) Pallas kernels
-        (ops/pallas/lane_decoder.py); the conversion transposes replace
-        the relayout copies XLA inserts for its patch-minor conv layout,
-        so the switch costs no extra data movement."""
-        from riders_tpu.ops.pallas import lane_decoder as LD
-
-        p = self.variables["params"]
-        st = self.variables["batch_stats"]
-        slope = 0.2
-        th, tw = skip1.shape[-3], skip1.shape[-2]
-
-        pd, sd = p["deconv1"], st["deconv1"]
-        k_up = pd["deconv"]["conv"]["conv"]["kernel"]
-        sb_up = LD.bn_fold(pd["deconv"]["conv"]["bn"],
-                           sd["deconv"]["conv"]["bn"])
-        hl = LD.to_lane(h)
-        if (th, tw) == (2 * h.shape[-3], 2 * h.shape[-2]):
-            up = LD.lane_upconv2x(hl, k_up, *sb_up, slope,
-                                  interpret=interpret)
-        else:
-            up = LD.lane_conv3x3(
-                [LD.nearest_resize_lane(hl, (th, tw))], [k_up],
-                *sb_up, slope, interpret=interpret)
-        f = int(k_up.shape[3])
-        k_f = pd["conv"]["conv"]["kernel"]
-        sb_f = LD.bn_fold(pd["conv"]["bn"], sd["conv"]["bn"])
-        h1 = LD.lane_conv3x3(
-            [up, LD.to_lane(skip1)], [k_f[:, :, :f], k_f[:, :, f:]],
-            *sb_f, slope, interpret=interpret)
-        return self._lane_phase_tail(h1, interpret)
-
-    def _lane_phase_tail(self, h1: jnp.ndarray, interpret: bool
-                         ) -> jnp.ndarray:
-        """deconv0 + output0 as depth-to-space-composed phase convs on a
-        lane-major (h+2, w+2, C, N) tensor (shared by _decode_lane and
-        _decode_lane_tail)."""
-        from riders_tpu.ops.pallas import lane_decoder as LD
-        from riders_tpu.models.layers import (depth_to_space2,
-            nearest2x_phase_kernel, phase_compose_3x3)
-
-        p = self.variables["params"]
-        st = self.variables["batch_stats"]
-        slope = 0.2
-        p0, s0 = p["deconv0"], st["deconv0"]
-        k_up0 = nearest2x_phase_kernel(
-            p0["deconv"]["conv"]["conv"]["kernel"].astype(jnp.float32))
-        g, b = LD.bn_fold(p0["deconv"]["conv"]["bn"],
-                          s0["deconv"]["conv"]["bn"])
-        u = LD.lane_conv3x3([h1], [k_up0], jnp.tile(g, 4), jnp.tile(b, 4),
-                            slope, interpret=interpret)
-        k_f0 = phase_compose_3x3(
-            p0["conv"]["conv"]["kernel"].astype(jnp.float32))
-        g, b = LD.bn_fold(p0["conv"]["bn"], s0["conv"]["bn"])
-        m = LD.lane_conv3x3([u], [k_f0], jnp.tile(g, 4), jnp.tile(b, 4),
-                            slope, interpret=interpret)
-        k_o = phase_compose_3x3(
-            p["output0"]["conv"]["kernel"].astype(jnp.float32))
-        k_o = jnp.pad(k_o, ((0, 0), (0, 0), (0, 0), (0, 4)))  # Co 4 -> 8
-        o = LD.lane_conv3x3([m], [k_o], None, None, None, out_pad=0,
-                            interpret=interpret)
-        o = jnp.transpose(o[:, :, :4], (3, 0, 1, 2))  # (N, h/2, w/2, 4)
-        return depth_to_space2(o, 1).astype(self.dtype)
-
-    def _decode_lane(self, x: jnp.ndarray, skips: Sequence[jnp.ndarray],
-                     interpret: bool = False) -> jnp.ndarray:
-        """Whole-decoder fast path in lane-major (H, W, C, N) layout
-        (ops/pallas/lane_decoder.py): XLA's NHWC convs run at 4-7% MXU on
-        the B*K patch batch; these kernels keep N in lanes and the conv
-        taps on untiled dims (PERF.md round 3: deconv1 fusion conv 2.83
-        -> 0.54 ms).  Exact-x2 stages fuse the nearest upsample into
-        phase matmuls; irregular stages (e.g. 30x12 -> 60x25) take an
-        untiled-dim slice-concat resize; deconv0 + output0 fuse into one
-        kernel that never materializes the full-resolution map."""
-        from riders_tpu.ops.pallas import lane_decoder as LD
-
-        p = self.variables["params"]
-        st = self.variables["batch_stats"]
-        slope = 0.2
-        h = LD.to_lane(x)
-        n_stages = len(self.n_filters) - 1
-        for i in range(n_stages):
-            d = 4 - i
-            skip = skips[len(skips) - 1 - i]
-            th, tw = skip.shape[-3], skip.shape[-2]
-            pd, sd = p[f"deconv{d}"], st[f"deconv{d}"]
-            k_up = pd["deconv"]["conv"]["conv"]["kernel"]
-            sb_up = LD.bn_fold(pd["deconv"]["conv"]["bn"],
-                               sd["deconv"]["conv"]["bn"])
-            if (th, tw) == (2 * (h.shape[0] - 2), 2 * (h.shape[1] - 2)):
-                up = LD.lane_upconv2x(h, k_up, *sb_up, slope,
-                                      interpret=interpret)
-            else:
-                up = LD.lane_conv3x3(
-                    [LD.nearest_resize_lane(h, (th, tw))], [k_up],
-                    *sb_up, slope, interpret=interpret)
-            f = int(k_up.shape[3])
-            k_f = pd["conv"]["conv"]["kernel"]
-            sb_f = LD.bn_fold(pd["conv"]["bn"], sd["conv"]["bn"])
-            h = LD.lane_conv3x3(
-                [up, LD.to_lane(skip)], [k_f[:, :, :f], k_f[:, :, f:]],
-                *sb_f, slope, interpret=interpret)
-
-        # Tail (deconv0 + output0): the depth-to-space-composed phase
-        # convs (layers.nearest2x_phase_kernel / phase_compose_3x3) ARE
-        # plain 3x3 convs on the (h/2-grid, 4F, N) phase tensor, so the
-        # full-resolution map never exists - one cheap 1-channel
-        # depth-to-space at the very end.
-        return self._lane_phase_tail(h, interpret)
 
 
 class RCNet(nn.Module):

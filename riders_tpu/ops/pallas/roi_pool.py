@@ -330,6 +330,16 @@ def roi_max_pool_pallas4d(feature: jnp.ndarray,
     """Batched RoI max pool over the 4D feature, identical semantics to
     `roi_max_pool_pallas` (torchvision roi_pool, RCNet/networks.py:418-433).
 
+    EXPERIMENT-ONLY (no production caller): the hybrid router
+    `roi_pool_pyramid_pallas4d` measured NEUTRAL vs the flat kernel on
+    the ZJU bench and is no longer reachable from `roi_pool_pyramid_batched`
+    (PERF.md round 3).  In particular the `true_hw` canvas path below is
+    exercised only by the interpret-mode parity test
+    (tests/test_pallas_parity.py::test_roi_pool_4d_true_hw_canvas) — the
+    router always sends canvas inputs to the flat kernel, so this branch
+    has never compiled through Mosaic on chip; re-verify on hardware
+    before wiring it up.
+
     feature: (B, H, W, C); boxes: (B, K, 4) [x1, y1, x2, y2].  With
     `true_hw=(H, W)`, `feature` is already a _NEG-padded canvas of shape
     (B, rows >= H + win_h, >= W + win_w, C) (see roi_window_pad) and is

@@ -22,7 +22,6 @@ bin [floor(p*b), ceil((p+1)*b)) clamped to the feature extent, empty -> 0.
 from __future__ import annotations
 
 import math
-import os
 from typing import List, Sequence, Tuple
 
 import jax
@@ -257,22 +256,14 @@ def roi_pool_pyramid_batched(latent: jnp.ndarray,
         use_pallas = jax.default_backend() not in ("cpu",)
     if use_pallas:
         from riders_tpu.ops.pallas.roi_pool import (
-            roi_pool_pyramid_pallas, roi_pool_pyramid_pallas4d,
-            roi_pool_pyramid_pallas_diff)
+            roi_pool_pyramid_pallas, roi_pool_pyramid_pallas_diff)
         if differentiable:
             return roi_pool_pyramid_pallas_diff(
                 latent, skips, boxes, patch_size,
                 skip1_true_hw=skip1_true_hw)
-        if os.environ.get("RIDERS_ROI_4D", "0") == "1":
-            # Opt-in 4D-native kernel for the C%128==0 pyramid levels
-            # (no pad+flatten relayout on their input side).  Measured
-            # NEUTRAL on the ZJU bench (406.2 flat vs 406.5 hybrid,
-            # same session): Mosaic's 128-lane DMA rule keeps the
-            # expensive C=32/64 shallow skips on the flat kernel, and
-            # the deep levels' relayouts were already cheap (PERF.md).
-            return roi_pool_pyramid_pallas4d(
-                latent, skips, boxes, patch_size,
-                skip1_true_hw=skip1_true_hw)
+        # (The 4D-native hybrid, roi_pool_pyramid_pallas4d, measured
+        # NEUTRAL on the ZJU bench - 406.2 flat vs 406.5 hybrid, same
+        # session - and is experiment-only now; call it directly to A/B.)
         return roi_pool_pyramid_pallas(latent, skips, boxes, patch_size,
                                        skip1_true_hw=skip1_true_hw)
     if skip1_true_hw is not None:

@@ -34,14 +34,13 @@ def test_lane_decode_matches_xla_decoder(patch, skips_hw):
              for i, ((h, w), c) in enumerate(
                  zip(skips_hw, [32, 64, 128, 128]))]
     dec = MultiScaleDecoder((256, 128, 64, 32, 16), patch, 1, "leaky_relu",
-                            True, dtype=jnp.bfloat16, lane_decode=False,
-                            phase_tail=False)
+                            True, dtype=jnp.bfloat16, phase_tail=False)
     variables = dec.init(jax.random.PRNGKey(42), x, skips)
     want = np.asarray(dec.apply(variables, x, skips), np.float32)
 
     lane = MultiScaleDecoder((256, 128, 64, 32, 16), patch, 1,
                              "leaky_relu", True, dtype=jnp.bfloat16,
-                             lane_decode=True)
+                             lane_mode="full")
     got = np.asarray(lane.apply(variables, x, skips), np.float32)
 
     assert got.shape == want.shape
@@ -109,15 +108,13 @@ def test_lane_tail_matches_xla_decoder(patch, skips_hw):
              for i, ((h, w), c) in enumerate(
                  zip(skips_hw, [32, 64, 128, 128]))]
     dec = MultiScaleDecoder((256, 128, 64, 32, 16), patch, 1, "leaky_relu",
-                            True, dtype=jnp.bfloat16, lane_decode=False,
-                            lane_tail=False, phase_tail=False)
+                            True, dtype=jnp.bfloat16, phase_tail=False)
     variables = dec.init(jax.random.PRNGKey(42), x, skips)
     want = np.asarray(dec.apply(variables, x, skips), np.float32)
 
     hyb = MultiScaleDecoder((256, 128, 64, 32, 16), patch, 1,
                             "leaky_relu", True, dtype=jnp.bfloat16,
-                            lane_decode=False, lane_tail=True,
-                            phase_tail=False)
+                            lane_mode="tail", phase_tail=False)
     got = np.asarray(hyb.apply(variables, x, skips), np.float32)
 
     assert got.shape == want.shape
