@@ -101,7 +101,13 @@ def device_time_per_call(fused, rc_vars, sml_vars, batch,
         def body(i, carry):
             img = carry
             depth = fused(rc_vars, sml_vars, {**batch, "image": img})
-            img = img + 1e-12 * depth[..., None]
+            # Data dependency via a single-element update: the full-image
+            # `img + 1e-12*depth[..., None]` cost ~1 ms/iteration of pure
+            # harness (a 15.7M-element add + an f32 relayout copy of the
+            # carry) that a production device-resident queue never pays.
+            upd = (img[0, 0, 0, 0] + 1e-12 * depth[0, 0, 0]).reshape(
+                1, 1, 1, 1)
+            img = jax.lax.dynamic_update_slice(img, upd, (0, 0, 0, 0))
             return img
         return jax.lax.fori_loop(0, n, body, batch["image"])
 

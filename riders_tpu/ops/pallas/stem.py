@@ -38,6 +38,26 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _fold_kernel_slots(w_slots: jnp.ndarray, n_j: int, cout: int
+                       ) -> jnp.ndarray:
+    """Combine the n_j col-pair slot matrices into n_j + 3 phase-combined
+    matrices for the W-FOLDED output form (lane = (w%4)*Cout + c).
+
+    Folded output column w = 4q + a taps phase-sorted operand lanes
+    (a+j)%4 * Wq + q + (a+j)//4; slices with equal s = a + j coincide, so
+    one dot per s serves all four output phase groups at full 128-lane
+    occupancy: w_comb[s][:, a*Cout:(a+1)*Cout] = w_slots[s - a]."""
+    K = w_slots.shape[1]
+    w_comb = jnp.zeros((n_j + 3, K, 4 * cout), w_slots.dtype)
+    for s in range(n_j + 3):
+        for a in range(4):
+            j = s - a
+            if 0 <= j < n_j:
+                w_comb = w_comb.at[s, :, a * cout:(a + 1) * cout].set(
+                    w_slots[j])
+    return w_comb
+
+
 def _scatter_kernel_slots(kernel: jnp.ndarray, k: int, n_q: int,
                           n_j: int, su: int) -> jnp.ndarray:
     """(k, k, Cin, Cout) conv kernel -> (n_j, n_q*su, Cout) im2col slot
@@ -70,7 +90,8 @@ def _scatter_kernel_slots(kernel: jnp.ndarray, k: int, n_q: int,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "negative_slope", "clip_max", "block_rows",
-                     "pad_to", "fill", "lead", "pool", "interpret"))
+                     "pad_to", "fill", "lead", "pool", "fold_w",
+                     "interpret"))
 def stem_conv_pallas(image: jnp.ndarray,
                      kernel: jnp.ndarray,
                      scale: jnp.ndarray,
@@ -83,6 +104,7 @@ def stem_conv_pallas(image: jnp.ndarray,
                      fill: float = -1e30,
                      lead: int | None = None,
                      pool: bool = False,
+                     fold_w: bool = False,
                      interpret: bool = False) -> jnp.ndarray:
     """Fused stem: leaky_relu(conv_{k x k, s2}(x) * scale + bias),
     optionally clipped at `clip_max` (relu6 = slope 0 + clip 6).
@@ -105,10 +127,21 @@ def stem_conv_pallas(image: jnp.ndarray,
         flat view) reads the output without any slice/pad/relayout pass -
         slicing this buffer back to the conv extent cost ~1.4 ms/call on
         the 640x512 bench (PERF.md).  Rows round up to a block multiple;
-        cols are exact.
+        cols are exact (fold_w: round up to 8).
+      fold_w: emit the canvas (and the fused pool output) W-FOLDED:
+        shape (B, rows, ceil(Wo2/4), 4*Cout) with lane (w%4)*Cout + c
+        holding column w = 4q + c at sublane-row q.  At Cout=32 this
+        packs the 128-lane tiles densely (the standard NHWC canvas is
+        physically 4x lane-padded), the kernel's dots run at full
+        128-lane occupancy via phase-combined weights (they are N=32-
+        bound otherwise), and the folded-input RoI pool kernel consumes
+        the canvas with no flatten relayout (the canvas->flat copies
+        cost 2.5 ms/call on the ZJU bench, PERF.md round 4).  Requires
+        Cout * 4 == 128-lane alignment, i.e. Cout in (8, 16, 32).
     Returns:
       (B, max_rows, max(ceil(W/2), pad_cols), Cout) bf16; the conv result
-      lives in [:, :ceil(H/2), :ceil(W/2), :].
+      lives in [:, :ceil(H/2), :ceil(W/2), :].  (fold_w: the folded
+      shapes above; with `pool` the pooled map is folded the same way.)
     """
     assert k % 2 == 1
     B, H, W, Cin = image.shape
@@ -117,6 +150,11 @@ def stem_conv_pallas(image: jnp.ndarray,
     Wo2 = max(Wo, pad_to[1])
     TR = block_rows
     Hp2, Wp2 = -(-Ho // 2), -(-Wo // 2)
+    if fold_w:
+        # the folded lane dim must be one full tile for the lane rolls
+        assert 4 * Cout == 128, Cout
+        # even folded width for the pool's sublane-pair bitcast
+        Wo2 = -(-Wo2 // 8) * 8
     if pool:
         # MaxPool2d(3, 2, 1) of the conv output is emitted from the same
         # kernel (the canvas stays in VMEM anyway); the pooled row tiling
@@ -128,6 +166,10 @@ def stem_conv_pallas(image: jnp.ndarray,
         # the sublane-pair bitcast needs an even canvas width; one more
         # fill column is invisible to the canvas consumers
         Wo2 += Wo2 % 2
+    # folded canvas geometry: OC x CL is the per-row output tile
+    OC = Wo2 // 4 if fold_w else Wo2
+    CL = 4 * Cout if fold_w else Cout
+    Wpq = -(-Wp2 // 4) if fold_w else Wp2
     if lead is None:
         lead = (k - 1) // 2           # symmetric SAME padding
     # window tap dx spans [0, k) from padded col 2c, so the group count

@@ -25,6 +25,7 @@ from __future__ import annotations
 import functools
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -86,6 +87,26 @@ def _nearest_matrix(in_size: int, out_size: int) -> np.ndarray:
     W = np.zeros((out_size, in_size), np.float32)
     W[np.arange(out_size), idx] = 1.0
     return W
+
+
+@functools.lru_cache(maxsize=None)
+def _nearest_runs(in_size: int, out_size: int):
+    """Nearest upsampling as repetition runs: maximal spans [a, b) of
+    source indices whose elements each repeat `c` times in the output.
+    floor(i*in/out) is monotone, so the output is the concatenation of
+    the runs' c-fold repeats.  Returns None when any source index is
+    skipped (downsampling) - those need the gather/matmul form."""
+    idx = np.asarray(resize_nearest_indices(in_size, out_size))
+    counts = np.bincount(idx, minlength=in_size)
+    if (counts == 0).any():
+        return None
+    runs = []
+    s = 0
+    for j in range(1, in_size + 1):
+        if j == in_size or counts[j] != counts[s]:
+            runs.append((s, j, int(counts[s])))
+            s = j
+    return tuple(runs)
 
 
 def _source_coords(in_size: int, out_size: int, align_corners: bool,
@@ -150,6 +171,34 @@ def _cubic_matrix(in_size: int, out_size: int, align_corners: bool
     return W.astype(np.float32)
 
 
+def _nearest_axis(x: jnp.ndarray, axis: int, in_n: int, out_n: int
+                  ) -> jnp.ndarray:
+    """Nearest resampling of one axis (see the method='nearest' notes in
+    resize2d): repetition runs when upsampling, one-hot matmul otherwise."""
+    axis = axis % x.ndim
+    runs = _nearest_runs(in_n, out_n) if out_n > in_n else None
+    if runs is not None and len(runs) <= 4:
+        pieces = []
+        for a, b, c in runs:
+            seg = jax.lax.slice_in_dim(x, a, b, axis=axis)
+            if c > 1:
+                shape = (seg.shape[:axis + 1] + (c,)
+                         + seg.shape[axis + 1:])
+                seg = jnp.broadcast_to(
+                    jnp.expand_dims(seg, axis + 1), shape)
+                seg = seg.reshape(seg.shape[:axis] + ((b - a) * c,)
+                                  + seg.shape[axis + 2:])
+            pieces.append(seg)
+        return pieces[0] if len(pieces) == 1 else \
+            jnp.concatenate(pieces, axis=axis)
+    prec = None if x.dtype == jnp.bfloat16 else "highest"
+    M = jnp.asarray(_nearest_matrix(in_n, out_n)).astype(x.dtype)
+    if axis == x.ndim - 3:
+        return jnp.einsum("oh,...hwc->...owc", M, x, precision=prec)
+    assert axis == x.ndim - 2
+    return jnp.einsum("pw,...hwc->...hpc", M, x, precision=prec)
+
+
 def resize2d(x: jnp.ndarray,
              out_shape: Tuple[int, int],
              method: str = "bilinear",
@@ -169,32 +218,19 @@ def resize2d(x: jnp.ndarray,
 
     if method == "nearest":
         # Gathers (and strided slices) lower to slow dynamic-slice loops
-        # on TPU (PERF.md).  Integer upscale factors reduce to element
-        # repetition (floor(i*in/out) = floor(i/f)) via broadcast+reshape;
-        # every other case routes through an exact one-hot matmul like the
-        # bilinear path (a single 1.0 tap per output row, so values pass
-        # through bit-exactly).
-        if h != h2 and h2 % h == 0:
-            f = h2 // h
-            shape = x.shape[:-3] + (h, f) + x.shape[-2:]
-            x = jnp.broadcast_to(x[..., :, None, :, :], shape)
-            x = x.reshape(x.shape[:-4] + (h2,) + x.shape[-2:])
-        elif h != h2:
-            # one-hot selection: bf16 stays in bf16 (exact - one 1.0 tap
-            # per row - and 8x the f32 MXU rate); f32 keeps highest
-            # precision so the pass-through is bit-exact
-            prec = None if x.dtype == jnp.bfloat16 else "highest"
-            Wh = jnp.asarray(_nearest_matrix(h, h2)).astype(x.dtype)
-            x = jnp.einsum("oh,...hwc->...owc", Wh, x, precision=prec)
-        if w != w2 and w2 % w == 0:
-            f = w2 // w
-            x = jnp.broadcast_to(x[..., :, None, :],
-                                 x.shape[:-1] + (f, x.shape[-1]))
-            x = x.reshape(x.shape[:-3] + (w2, x.shape[-1]))
-        elif w != w2:
-            prec = None if x.dtype == jnp.bfloat16 else "highest"
-            Ww = jnp.asarray(_nearest_matrix(w, w2)).astype(x.dtype)
-            x = jnp.einsum("pw,...hwc->...hpc", Ww, x, precision=prec)
+        # on TPU (PERF.md).  Upsampling is exact element repetition
+        # (floor(i*in/out) visits every source index in order), expressed
+        # as broadcast+reshape per repetition run plus one concat - an
+        # integer factor is a single run; irregular factors like the
+        # decoder's 12 -> 25 are two (the one-hot matmul form this
+        # replaces ran at 4 TF/s on K=12 x N=25 shapes, PERF.md round 4).
+        # Downsampling and many-run cases keep the exact one-hot matmul
+        # (a single 1.0 tap per output row, so values pass through
+        # bit-exactly; bf16 stays bf16 - 8x the f32 MXU rate).
+        if h != h2:
+            x = _nearest_axis(x, -3, h, h2)
+        if w != w2:
+            x = _nearest_axis(x, -2, w, w2)
         return x
 
     if method == "bilinear":

