@@ -105,6 +105,12 @@ class FusedStemConv(nn.Module):
     # the kernel (the canvas never re-enters VMEM; replaces a 2 ms
     # reduce_window over the lane-padded 4D canvas on the 640x512 bench).
     fuse_pool: bool = False
+    # Emit the kernel path's canvas W-FOLDED (stem.py fold_w: lane
+    # (w%4)*C + c, dense 128-lane tiles at C=32): the folded RoI pool
+    # kernel then consumes it with no flatten relayout (PERF.md round 4).
+    # The pooled map is unfolded here so downstream stages see the
+    # standard layout.  Ignored off the kernel path.
+    fold_w: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -158,12 +164,20 @@ class FusedStemConv(nn.Module):
         else:
             g = jnp.ones((self.features,), jnp.float32)
             b = jnp.zeros((self.features,), jnp.float32)
+        fold = self.fold_w and 4 * self.features == 128
         if self.fuse_pool:
             out, pooled = stem_conv_pallas(
                 x, kernel, g, b, k=k,
                 negative_slope=slopes[self.activation_name],
                 pad_to=pad_to if pad_to is not None else (0, 0),
-                fill=self.pad_fill, pool=True)
+                fill=self.pad_fill, pool=True, fold_w=fold)
+            if fold:
+                # unfold the pooled map (one relayout; the canvas stays
+                # folded for the RoI pool kernel)
+                B2, hp, wpq, cl = pooled.shape
+                pooled = pooled.reshape(B2, hp, wpq, 4, self.features)
+                pooled = pooled.reshape(B2, hp, wpq * 4, self.features)
+                pooled = pooled[:, :, :-(-wo // 2)]
             if pad_to is None:
                 out = out[:, :ho]
             return out, pooled

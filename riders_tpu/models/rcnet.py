@@ -69,6 +69,10 @@ class ResNetEncoder(nn.Module):
     n_blocks_per_stage: int = 2
     dtype: Dtype = jnp.float32
     skip1_roi_pad: Optional[Tuple[int, int]] = None
+    # W-fold the stem canvas on the Pallas path (layers.FusedStemConv
+    # fold_w; requires n_filters[0] == 32): skips[0] then has channel
+    # dim 4*C with lane (w%4)*C + c, for the folded RoI pool kernel.
+    fold_skip1: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False
@@ -88,6 +92,7 @@ class ResNetEncoder(nn.Module):
                                   self.use_batch_norm, dtype=self.dtype,
                                   roi_pad=self.skip1_roi_pad,
                                   fuse_pool=True,
+                                  fold_w=self.fold_skip1,
                                   name="conv1")(x, train)
         skips.append(h)
         h = pooled
@@ -330,22 +335,27 @@ class RCNet(nn.Module):
         lh, lw = cfg.latent_shape
         d_model = cfg.n_neurons_encoder_depth[-1]
 
-        from riders_tpu.ops.pallas.roi_pool import roi_window_pad
+        from riders_tpu.ops.pallas.roi_pool import roi_window_pad_folded
 
-        s1_pad = roi_window_pad(cfg.patch_size, 0.5,
-                                cfg.n_filters_encoder_image[0])
+        c1 = cfg.n_filters_encoder_image[0]
+        s1_pad = roi_window_pad_folded(cfg.patch_size, 0.5, c1)
         latent, skips = ResNetEncoder(
             cfg.n_filters_encoder_image, cfg.activation, cfg.use_batch_norm,
             dtype=self.dtype, skip1_roi_pad=s1_pad,
+            fold_skip1=(c1 * 4 == 128),
             name="encoder_image")(image, train)
         s1_hw = (-(-image.shape[-3] // 2), -(-image.shape[-2] // 2))
 
         # Training uses the custom-VJP Pallas pool (scatter-to-argmax
         # backward); on CPU both modes fall back to the XLA formulation,
-        # which is differentiable as written.
+        # which is differentiable as written.  A folded stem canvas
+        # (4*C channel dim - bf16 TPU inference only) routes skips[0] to
+        # the folded pool kernel.
+        s1_fold = c1 if skips[0].shape[-1] == 4 * c1 else None
         pooled_latent, pooled_skips = roi_pool_pyramid_batched(
             latent, skips, boxes, cfg.patch_size,
-            skip1_true_hw=s1_hw, differentiable=train)
+            skip1_true_hw=s1_hw, differentiable=train,
+            skip1_folded_channels=s1_fold)
         # -> (B, K, h, w, C) each; flatten the frame x point axes.
         flat = lambda t: t.reshape((B * K,) + t.shape[2:])
         pooled_latent = flat(pooled_latent)

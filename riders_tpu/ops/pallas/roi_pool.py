@@ -283,17 +283,29 @@ def roi_pool_pyramid_pallas(latent: jnp.ndarray,
                             boxes: jnp.ndarray,
                             patch_size: Tuple[int, int],
                             interpret: bool = False,
-                            skip1_true_hw: Tuple[int, int] | None = None
+                            skip1_true_hw: Tuple[int, int] | None = None,
+                            skip1_folded_channels: int | None = None
                             ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
     """Batched multi-scale pooling (RCNet/networks.py:404-433): latent at
     1/2^(len(skips)+1) (1/32 in the reference topology) plus skips at
     strides 2..  `skip1_true_hw` marks skips[0] as an already-_NEG-padded
-    canvas (see roi_window_pad)."""
+    canvas (see roi_window_pad); with `skip1_folded_channels=C` it is the
+    W-FOLDED canvas from the stem kernel's fold_w path (lane
+    (w%4)*C + c), consumed by `roi_max_pool_pallas_foldw` with no
+    flatten relayout."""
     ph, pw = patch_size
     pooled_skips = []
     for i, skip in enumerate(skips):
         s = 1.0 / (2 ** (i + 1))
         out = (int(ph * s), int(pw * s))
+        if i == 0 and skip1_folded_channels is not None:
+            assert skip1_true_hw is not None
+            pooled = roi_max_pool_pallas_foldw(
+                skip, boxes, s, out, patch_size, true_hw=skip1_true_hw,
+                channels=skip1_folded_channels, interpret=interpret)
+            pooled_skips.append(
+                unfold_pooled(pooled, out[1], skip1_folded_channels))
+            continue
         hw = skip1_true_hw if i == 0 else None
         pooled_skips.append(
             roi_max_pool_pallas(skip, boxes, s, out, patch_size, interpret,
@@ -303,6 +315,215 @@ def roi_pool_pyramid_pallas(latent: jnp.ndarray,
     pooled_latent = roi_max_pool_pallas(latent, boxes, 1.0 / lat_stride,
                                         latent_out, patch_size, interpret)
     return pooled_latent, pooled_skips
+
+
+def roi_window_pad_folded(box_size: Tuple[int, int], scale: float,
+                          channels: int) -> Tuple[int, int]:
+    """(win_h, win_w) canvas padding (in unfolded units) for the W-FOLDED
+    pool kernel (`roi_max_pool_pallas_foldw`): the W window is DMA'd at
+    32-column (8-sublane x fold-4) alignment, so it must cover the 31-
+    column worst-case residue plus the roi, rounded to whole 8-sublane
+    groups.  Maxed against `roi_window_pad` so one canvas geometry also
+    satisfies the flat kernel (the training path's differentiable pool
+    consumes a standard canvas with the same padding)."""
+    win_h_flat, win_w_flat = roi_window_pad(box_size, scale, channels)
+    win_wq = -(-(31 + _max_roi(box_size[1], scale)) // 4)
+    win_wq = -(-win_wq // 8) * 8
+    return win_h_flat, max(4 * win_wq, win_w_flat)
+
+
+def roi_max_pool_pallas_foldw(canvas: jnp.ndarray,
+                              boxes: jnp.ndarray,
+                              scale: float,
+                              out_size: Tuple[int, int],
+                              box_size: Tuple[int, int],
+                              true_hw: Tuple[int, int],
+                              channels: int = 32,
+                              interpret: bool = False) -> jnp.ndarray:
+    """RoI max pool consuming a W-FOLDED _NEG canvas (the fold_w output
+    of ops/pallas/stem.stem_conv_pallas): canvas (B, R, Wq, 4*C) with
+    lane (w%4)*C + c holding column w = 4q + (lane//C) of the true
+    (H, W) feature.  Same torchvision semantics as `roi_max_pool_pallas`.
+
+    Folding removes the canvas->flat relayout copies on the input side
+    (2.5 ms/call at the ZJU geometry, PERF.md round 4): the window DMA
+    slices untiled rows exactly, 8-aligned sublane W-groups, and full
+    128-lane tiles; the 31-column worst-case residue cancels with one
+    dynamic sublane roll plus one dynamic lane roll (+ carry select).
+    W bins are evaluated IN folded space: tap shift maps s = a_p - p + t
+    are computed elementwise from a lane/sublane iota against the traced
+    roi width, selecting among smax+1 statically rolled window variants.
+
+    Returns (B, K, out_h, OQ, 4*C) with OQ = ceil(out_w/4): pooled
+    column p = 4*oq + (lane//C) - the same folded lane order as the
+    canvas.  The consumer unfolds with one reshape+slice (whose relayout
+    replaces - at equal cost - the pooled-output copies the flat kernel
+    needs anyway).
+    """
+    B, R, Wq2c, CL = canvas.shape
+    C = channels
+    F = CL // C
+    assert F == 4 and CL == 128, (canvas.shape, channels)
+    H, W = true_hw
+    K = boxes.shape[1]
+    out_h, out_w = out_size
+    OQ = -(-out_w // 4)
+    ext_h = max(_possible_rois(box_size[0], scale))
+    win_wq = -(-(31 + _max_roi(box_size[1], scale)) // 4)
+    win_wq = -(-win_wq // 8) * 8
+    assert R >= H + ext_h, (R, H, ext_h)
+    # worst-case DMA window: wq offset (W//32)*8 + win_wq sublanes
+    assert Wq2c >= (W // 32) * 8 + win_wq, (Wq2c, W, win_wq)
+    roi_cases_h = _possible_rois(box_size[0], scale)
+    roi_cases_w = _possible_rois(box_size[1], scale)
+    # max forward tap shift s = a_p - p + width - 1 over all cases
+    smax = 0
+    for rw in roi_cases_w:
+        a, widths = _bin_plan(rw, out_w, win_wq * 4)
+        smax = max(smax, int((a + widths - 1 - np.arange(out_w)).max()))
+    assert smax <= 7, smax
+
+    b32 = boxes.astype(jnp.float32)
+    rr = lambda v: jnp.floor(v * scale + 0.5).astype(jnp.int32)
+    rs_w, rs_h = rr(b32[..., 0]), rr(b32[..., 1])
+    roi_w = jnp.maximum(rr(b32[..., 2]) - rs_w + 1, 1)
+    roi_h = jnp.maximum(rr(b32[..., 3]) - rs_h + 1, 1)
+    rs_h = jnp.clip(rs_h, 0, H)
+    rs_w = jnp.clip(rs_w, 0, W)
+    wq_div = rs_w // 32          # DMA offset in 8-sublane units
+    resid = rs_w - 32 * wq_div   # [0, 32) columns
+
+    bytes_per_point = out_h * OQ * CL * canvas.dtype.itemsize
+    kc = K
+    while kc > 1 and kc * bytes_per_point > 2 * 1024 * 1024:
+        kc //= 2
+    while K % kc != 0:
+        kc -= 1
+    n_chunks = K // kc
+
+    def kernel(rsh_ref, wqd_ref, resid_ref, roih_ref, roiw_ref,
+               canvas_ref, out_ref, win_scratch, sems):
+        b = pl.program_id(0)
+        c0 = pl.program_id(1) * kc
+        step = b * n_chunks + pl.program_id(1)
+        g0 = step * kc
+
+        def get_dma(slot, b_, k_):
+            return pltpu.make_async_copy(
+                canvas_ref.at[b_,
+                              pl.ds(rsh_ref[b_, k_], ext_h),
+                              pl.ds(wqd_ref[b_, k_] * 8, win_wq)],
+                win_scratch.at[slot],
+                sems.at[slot])
+
+        @pl.when(step == 0)
+        def _():
+            get_dma(0, b, c0).start()
+
+        lane_a = jax.lax.broadcasted_iota(
+            jnp.int32, (ext_h, win_wq, CL), 2) // C
+        oa_i = jax.lax.broadcasted_iota(jnp.int32, (out_h, OQ, CL), 2) // C
+        oq_i = jax.lax.broadcasted_iota(jnp.int32, (out_h, OQ, CL), 1)
+        p_i = 4 * oq_i + oa_i
+
+        def body(j, _):
+            k = c0 + j
+            slot = jax.lax.rem(g0 + j, 2)
+            nxt = g0 + j + 1
+
+            @pl.when(nxt < B * n_chunks * kc)
+            def _():
+                step2 = nxt // kc
+                get_dma(jax.lax.rem(nxt, 2), step2 // n_chunks,
+                        jax.lax.rem(step2, n_chunks) * kc
+                        + jax.lax.rem(nxt, kc)).start()
+
+            get_dma(slot, b, k).wait()
+            win = win_scratch[slot].astype(jnp.float32)
+            # cancel the residue: w_aligned[i] = canvas[resid + i]
+            rq = resid_ref[b, k] // 4
+            ra = resid_ref[b, k] - 4 * rq
+            win = pltpu.roll(win, win_wq - rq, 1)
+            lrolled = pltpu.roll(win, CL - ra * C, 2)
+            lroll_up = pltpu.roll(lrolled, win_wq - 1, 1)
+            win = jnp.where(lane_a >= 4 - ra, lroll_up, lrolled)
+
+            # H bins first (rows untiled, static slices per roi case).
+            def h_cases(arr):
+                variants = [_h_bin_max(arr, rc, out_h)
+                            for rc in roi_cases_h]
+                out = variants[0]
+                for rc, v in zip(roi_cases_h[1:], variants[1:]):
+                    out = jnp.where(roih_ref[b, k] == rc, v, out)
+                return out
+
+            hb = h_cases(win)                      # (out_h, win_wq, CL)
+
+            # W bins in folded space: variant V_s[p] = hb[w = p + s].
+            variants = []
+            for s in range(smax + 1):
+                sm, sd = s % 4, s // 4
+                ls = hb if sm == 0 else pltpu.roll(hb, CL - sm * C, 2)
+                l0 = ls if sd == 0 else pltpu.roll(ls, win_wq - sd, 1)
+                if sm == 0:
+                    v = l0
+                else:
+                    l1 = pltpu.roll(ls, win_wq - sd - 1, 1)
+                    v = jnp.where(
+                        jax.lax.broadcasted_iota(
+                            jnp.int32, l0.shape, 2) // C >= 4 - sm,
+                        l1, l0)
+                variants.append(v[:, :OQ])
+            rw = roiw_ref[b, k]
+            s1 = (p_i * rw) // out_w - p_i
+            s2 = ((p_i + 1) * rw - 1) // out_w - p_i
+            neg = jnp.float32(_NEG)
+            pooled = jnp.full((out_h, OQ, CL), neg, jnp.float32)
+            for s in range(smax + 1):
+                pooled = jnp.maximum(
+                    pooled, jnp.where((s1 <= s) & (s <= s2),
+                                      variants[s], neg))
+            pooled = jnp.where(pooled < _NEG * 0.5, 0.0, pooled)
+            out_ref[0, j] = pooled.astype(out_ref.dtype)
+            return 0
+
+        jax.lax.fori_loop(0, kc, body, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(B, n_chunks),
+        in_specs=[
+            pl.BlockSpec(canvas.shape, lambda b, c, *_: (0, 0, 0, 0),
+                         memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, kc, out_h, OQ, CL),
+                               lambda b, c, *_: (b, c, 0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, ext_h, win_wq, CL), canvas.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, K, out_h, OQ, CL),
+                                       canvas.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(rs_h, wq_div, resid, roi_h, roi_w, canvas)
+    return out
+
+
+def unfold_pooled(pooled: jnp.ndarray, out_w: int, channels: int
+                  ) -> jnp.ndarray:
+    """(B, K, out_h, OQ, 4*C) folded pool output -> (B, K, out_h, out_w,
+    C) standard layout (one XLA relayout, replacing the pooled-output
+    copies the flat kernel's consumers pay anyway)."""
+    B, K, out_h, OQ, CL = pooled.shape
+    C = channels
+    x = pooled.reshape(B, K, out_h, OQ, 4, C).reshape(
+        B, K, out_h, OQ * 4, C)
+    return x[:, :, :, :out_w]
 
 
 # ---------------------------------------------------------------------------

@@ -201,16 +201,35 @@ def stem_conv_pallas(image: jnp.ndarray,
     # taps into sublanes -> merge row pairs -> pad taps to the sublane
     # tile (all free except the minor transpose, which XLA runs at
     # memory bandwidth).
-    x = x.reshape(B, rows_sto, n_pairs_w, S)
-    x = jnp.transpose(x, (0, 1, 3, 2))
-    x = x.reshape(B, n_pairs_h, 2 * S, n_pairs_w)
-    x = jnp.pad(x, ((0, 0), (0, 0), (0, SU - 2 * S), (0, 0)))
+    if fold_w:
+        # Phase-sorted lanes: col-pair p = 4q + a lands at lane
+        # a*Wq + q, so the folded output's four phase groups read
+        # CONTIGUOUS lane slices (one per s = a + j).  Same bytes moved
+        # as the plain minor transpose below.
+        Wq = n_pairs_w // 4
+        x = x.reshape(B, rows_sto, Wq, 4, S)
+        x = jnp.transpose(x, (0, 1, 4, 3, 2))
+        x = x.reshape(B, n_pairs_h, 2 * S, 4, Wq)
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, SU - 2 * S), (0, 0), (0, 0)))
+        x = x.reshape(B, n_pairs_h, SU, n_pairs_w)
+    else:
+        Wq = 0
+        x = x.reshape(B, rows_sto, n_pairs_w, S)
+        x = jnp.transpose(x, (0, 1, 3, 2))
+        x = x.reshape(B, n_pairs_h, 2 * S, n_pairs_w)
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, SU - 2 * S), (0, 0)))
 
     w_slots = _scatter_kernel_slots(
         kernel.astype(jnp.float32) * scale.astype(jnp.float32)[None, None,
                                                                None, :],
-        k, n_q, n_j, SU).astype(jnp.bfloat16)
+        k, n_q, n_j, SU)
+    if fold_w:
+        w_slots = _fold_kernel_slots(w_slots, n_j, Cout)
+    w_slots = w_slots.astype(jnp.bfloat16)
+    n_dots = n_j + 3 if fold_w else n_j
     b_row = bias.astype(jnp.float32).reshape(1, Cout)
+    if fold_w:
+        b_row = jnp.tile(b_row, (1, 4))
 
     dma_pairs = TR + n_q
 
@@ -252,7 +271,7 @@ def stem_conv_pallas(image: jnp.ndarray,
 
         @pl.when(r0 >= Ho)
         def _():
-            out_ref[0] = jnp.full((TR, Wo2, Cout), fill_f, out_ref.dtype)
+            out_ref[0] = jnp.full((TR, OC, CL), fill_f, out_ref.dtype)
 
         @pl.when(r0 < Ho)
         def _():
@@ -266,16 +285,33 @@ def stem_conv_pallas(image: jnp.ndarray,
                                 axis=1)         # (TR, n_q*SU, n_pairs_w)
 
             b = b_ref[...]
-            col_ok = (jax.lax.broadcasted_iota(jnp.int32, (Wo2, 1), 0)
-                      < Wo)
+            if fold_w:
+                # validity of folded column w = 4q + lane//Cout
+                col_ok = (
+                    4 * jax.lax.broadcasted_iota(jnp.int32, (OC, CL), 0)
+                    + jax.lax.broadcasted_iota(jnp.int32, (OC, CL), 1)
+                    // Cout) < Wo
+            else:
+                col_ok = (jax.lax.broadcasted_iota(jnp.int32, (Wo2, 1), 0)
+                          < Wo)
             rows = []
             for tt in range(TR):
-                acc = jnp.zeros((Wo2, Cout), jnp.float32)
-                for j in range(n_j):
-                    acc = acc + jax.lax.dot_general(
-                        t[tt, :, j:j + Wo2], w_ref[j],
-                        (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)  # (Wo2, Cout)
+                acc = jnp.zeros((OC, CL), jnp.float32)
+                if fold_w:
+                    # one dot per s = a + j at full 128-lane occupancy
+                    # (phase-combined weights, _fold_kernel_slots)
+                    for s in range(n_dots):
+                        base = (s % 4) * Wq + s // 4
+                        acc = acc + jax.lax.dot_general(
+                            t[tt, :, base:base + OC], w_ref[s],
+                            (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                else:
+                    for j in range(n_j):
+                        acc = acc + jax.lax.dot_general(
+                            t[tt, :, j:j + Wo2], w_ref[j],
+                            (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
                 acc = acc + b
                 acc = jnp.maximum(acc, negative_slope * acc)
                 if clip_max is not None:
@@ -286,7 +322,61 @@ def stem_conv_pallas(image: jnp.ndarray,
                 out_ref[0, tt] = val
                 rows.append(val)
 
-            if pool:
+            if pool and fold_w:
+                # MaxPool2d(3, 2, 1) on the FOLDED rows.  Row taps as in
+                # the unfolded branch below.  Column taps: pooled column
+                # p = 4pq + pa taps w = 8pq + 2pa + {-1, 0, 1}, i.e.
+                # folded rows q = 2pq(+1) (the sublane-pair bitcast
+                # gives the even/odd q split elementwise) at lane groups
+                # a = (2pa + d) % 4 - reached with STATIC lane rolls
+                # T_g (source group (pa+g)%4 into output group pa) and
+                # per-group selects.
+                prev = jnp.where(r0 == 0,
+                                 jnp.full((OC, CL), fill_f, jnp.bfloat16),
+                                 carry[...])
+                a_lane = jax.lax.broadcasted_iota(
+                    jnp.int32, (OC // 2, CL), 1) // Cout
+                first = (jax.lax.broadcasted_iota(
+                    jnp.int32, (OC // 2, CL), 0) == 0)
+                for p in range(TR // 2):
+                    above = rows[2 * p - 1] if p > 0 else prev
+                    rm = jnp.maximum(jnp.maximum(rows[2 * p],
+                                                 rows[2 * p + 1]), above)
+                    xi = pltpu.bitcast(rm, jnp.int32)   # (OC//2, CL)
+                    Ts = [xi] + [pltpu.roll(xi, CL - g * Cout, 1)
+                                 for g in (1, 2, 3)]
+
+                    def ev(g):
+                        return pltpu.bitcast(
+                            (Ts[g] & 0xFFFF).astype(jnp.uint16),
+                            jnp.bfloat16)
+
+                    def od(g, prev_row=False):
+                        ti = pltpu.roll(Ts[g], 1, 0) if prev_row else Ts[g]
+                        o = pltpu.bitcast(
+                            ((ti >> 16) & 0xFFFF).astype(jnp.uint16),
+                            jnp.bfloat16)
+                        if prev_row:
+                            o = jnp.where(
+                                first, jnp.asarray(fill_f, jnp.bfloat16),
+                                o)
+                        return o
+
+                    def bysel(v0, v1, v2, v3):
+                        return jnp.where(
+                            a_lane == 0, v0,
+                            jnp.where(a_lane == 1, v1,
+                                      jnp.where(a_lane == 2, v2, v3)))
+
+                    e0, e1, e2 = ev(0), ev(1), ev(2)
+                    o0, o2, o3 = od(0), od(2), od(3)
+                    tap1 = bysel(od(3, True), e0, e1, o2)   # d = -1
+                    tap2 = bysel(e0, e1, o2, o3)            # d = 0
+                    tap3 = bysel(e1, e2, o3, o0)            # d = +1
+                    pm = jnp.maximum(jnp.maximum(tap1, tap2), tap3)
+                    pool_ref[0, p] = pm[:Wpq]
+                carry[...] = rows[TR - 1]
+            elif pool:
                 # MaxPool2d(3, 2, 1) over the conv rows just produced.
                 # Row taps {2p-1, 2p, 2p+1}: the -1 tap of the block's
                 # first pooled row is the previous block's last conv row
@@ -324,9 +414,9 @@ def stem_conv_pallas(image: jnp.ndarray,
 
     scratch = [pltpu.VMEM((2, dma_pairs, SU, n_pairs_w), jnp.bfloat16),
                pltpu.SemaphoreType.DMA((2,))]
-    out_shapes = jax.ShapeDtypeStruct((B, n_blocks_out * TR, Wo2, Cout),
+    out_shapes = jax.ShapeDtypeStruct((B, n_blocks_out * TR, OC, CL),
                                       jnp.bfloat16)
-    out_specs = pl.BlockSpec((1, TR, Wo2, Cout), lambda b, r: (b, r, 0, 0))
+    out_specs = pl.BlockSpec((1, TR, OC, CL), lambda b, r: (b, r, 0, 0))
     if pool:
         # The pooled rows tile exactly (TR selection above); the pure-
         # fill canvas blocks (r >= n_blocks) clamp onto the last real
@@ -334,25 +424,25 @@ def stem_conv_pallas(image: jnp.ndarray,
         # the kernel leaves the buffer untouched and it is rewritten
         # unchanged.
         out_shapes = (out_shapes,
-                      jax.ShapeDtypeStruct((B, Hp2, Wp2, Cout),
+                      jax.ShapeDtypeStruct((B, Hp2, Wpq, CL),
                                            jnp.bfloat16))
         out_specs = (out_specs,
-                     pl.BlockSpec((1, TR // 2, Wp2, Cout),
+                     pl.BlockSpec((1, TR // 2, Wpq, CL),
                                   lambda b, r: (b, min(r, n_blocks - 1)
                                                 if isinstance(r, int)
                                                 else jnp.minimum(
                                                     r, n_blocks - 1),
                                                 0, 0)))
-        scratch += [pltpu.VMEM((Wo2, Cout), jnp.bfloat16)]
+        scratch += [pltpu.VMEM((OC, CL), jnp.bfloat16)]
 
     out = pl.pallas_call(
         kern,
         grid=(B, n_blocks_out),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((n_j, n_q * SU, Cout), lambda b, r: (0, 0, 0),
+            pl.BlockSpec((n_dots, n_q * SU, CL), lambda b, r: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Cout), lambda b, r: (0, 0),
+            pl.BlockSpec((1, CL), lambda b, r: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,

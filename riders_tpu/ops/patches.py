@@ -238,7 +238,8 @@ def roi_pool_pyramid_batched(latent: jnp.ndarray,
                              patch_size: Tuple[int, int],
                              use_pallas: bool | None = None,
                              skip1_true_hw: Tuple[int, int] | None = None,
-                             differentiable: bool = False
+                             differentiable: bool = False,
+                             skip1_folded_channels: int | None = None
                              ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
     """Batched multi-scale RoI pooling over (B, K) boxes.
 
@@ -251,6 +252,9 @@ def roi_pool_pyramid_batched(latent: jnp.ndarray,
     `skip1_true_hw=(H, W)` marks skips[0] as a pre-padded _NEG canvas from
     the fused stem kernel (ops/pallas/stem.py pad_to): the Pallas path
     consumes it via a free reshape; the XLA path slices it back.
+    `skip1_folded_channels=C` marks it as the stem kernel's W-FOLDED
+    canvas (fold_w: lane (w%4)*C + c) - bf16 TPU inference only - which
+    the folded pool kernel consumes with no flatten relayout.
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
@@ -258,6 +262,8 @@ def roi_pool_pyramid_batched(latent: jnp.ndarray,
         from riders_tpu.ops.pallas.roi_pool import (
             roi_pool_pyramid_pallas, roi_pool_pyramid_pallas_diff)
         if differentiable:
+            assert skip1_folded_channels is None, (
+                "the differentiable pool consumes the standard canvas")
             return roi_pool_pyramid_pallas_diff(
                 latent, skips, boxes, patch_size,
                 skip1_true_hw=skip1_true_hw)
@@ -265,7 +271,17 @@ def roi_pool_pyramid_batched(latent: jnp.ndarray,
         # NEUTRAL on the ZJU bench - 406.2 flat vs 406.5 hybrid, same
         # session - and is experiment-only now; call it directly to A/B.)
         return roi_pool_pyramid_pallas(latent, skips, boxes, patch_size,
-                                       skip1_true_hw=skip1_true_hw)
+                                       skip1_true_hw=skip1_true_hw,
+                                       skip1_folded_channels=
+                                       skip1_folded_channels)
+    if skip1_folded_channels is not None:
+        # unfold for the XLA path (shape fallback only; the fold path is
+        # TPU-inference-only by construction)
+        s1 = skips[0]
+        B, R, Wq, CL = s1.shape
+        s1 = s1.reshape(B, R, Wq, 4, CL // 4).reshape(B, R, Wq * 4,
+                                                      CL // 4)
+        skips = [s1] + list(skips[1:])
     if skip1_true_hw is not None:
         h1, w1 = skip1_true_hw
         skips = [skips[0][:, :h1, :w1]] + list(skips[1:])

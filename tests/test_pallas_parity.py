@@ -216,3 +216,43 @@ def test_roi_pool_boxes_at_image_edges(rng):
     ref = jax.vmap(lambda fb, bb: roi_max_pool(
         fb, bb, scale, out_size, patch))(jnp.asarray(f), jnp.asarray(boxes))
     np.testing.assert_array_equal(np.asarray(ours), np.asarray(ref))
+
+
+@pytest.mark.parametrize("H,W,scale,out_size,box", [
+    (80, 100, 0.5, (24, 10), (48, 20)),   # ZJU-like ratios
+    (61, 87, 0.5, (15, 5), (30, 10)),     # NTU-like odd sizes
+])
+def test_roi_pool_foldw_parity(rng, H, W, scale, out_size, box):
+    """The W-FOLDED RoI pool kernel (consumes the stem's fold_w canvas,
+    PERF.md round 4) vs the XLA formulation, including edge boxes and a
+    residue-exercising x offset."""
+    from riders_tpu.ops.patches import _max_roi, roi_max_pool
+    from riders_tpu.ops.pallas.roi_pool import (
+        _NEG, roi_max_pool_pallas_foldw, roi_window_pad_folded,
+        unfold_pooled)
+
+    C, B, K = 32, 1, 8
+    feat = rng.standard_normal((B, H, W, C)).astype(np.float32)
+    x1 = rng.integers(-box[1] // 2, W - box[1] // 2, (B, K))
+    y1 = rng.integers(-box[0] // 2, H - box[0] // 2, (B, K))
+    x1[0, :4] = [0, W - box[1], W - box[1] // 2, 33]
+    y1[0, :4] = [0, H - box[0], H - box[0] // 2, 7]
+    boxes = np.stack([x1, y1, x1 + box[1], y1 + box[0]], -1
+                     ).astype(np.float32)
+
+    win_h, win_w = roi_window_pad_folded(box, scale, C)
+    R = H + win_h
+    Wo2 = -(-(W + win_w) // 8) * 8
+    canvas = np.full((B, R, Wo2, C), _NEG, np.float32)
+    canvas[:, :H, :W] = feat
+    folded = canvas.reshape(B, R, Wo2 // 4, 4, C).reshape(
+        B, R, Wo2 // 4, 4 * C)
+
+    ref = jax.vmap(lambda f, b: roi_max_pool(f, b, scale, out_size, box))(
+        jnp.asarray(feat), jnp.asarray(boxes))
+    got = roi_max_pool_pallas_foldw(
+        jnp.asarray(folded), jnp.asarray(boxes), scale, out_size, box,
+        true_hw=(H, W), channels=C, interpret=True)
+    gotu = unfold_pooled(got, out_size[1], C)
+    np.testing.assert_allclose(np.asarray(gotu), np.asarray(ref),
+                               atol=1e-5)

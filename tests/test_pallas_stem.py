@@ -90,3 +90,42 @@ def test_stem_kernel_tf_same_relu6(rng):
     np.testing.assert_allclose(
         np.asarray(y, np.float32), np.asarray(y_ref, np.float32),
         rtol=0.02, atol=0.02)
+
+
+@pytest.mark.parametrize("pool,pad_to", [
+    (False, (0, 0)), (True, (64, 80)),
+])
+def test_stem_fold_w_matches_unfolded(rng, pool, pad_to):
+    """fold_w emits the canvas (and fused pool) W-FOLDED - lane
+    (w%4)*Cout + c - bit-identical to the unfolded form after an
+    unfold reshape (PERF.md round 4: kills the canvas->flat relayout)."""
+    B, H, W, Cin, Cout, k = 2, 70, 90, 3, 32, 7
+    img = rng.standard_normal((B, H, W, Cin)).astype(np.float32)
+    kern = (rng.standard_normal((k, k, Cin, Cout)) * 0.1).astype(np.float32)
+    g = (0.5 + rng.random(Cout)).astype(np.float32)
+    b = rng.standard_normal(Cout).astype(np.float32)
+
+    args = (jnp.asarray(img), jnp.asarray(kern), jnp.asarray(g),
+            jnp.asarray(b))
+    ref = stem_conv_pallas(*args, k=k, pad_to=pad_to, pool=pool,
+                           interpret=True)
+    got = stem_conv_pallas(*args, k=k, pad_to=pad_to, pool=pool,
+                           fold_w=True, interpret=True)
+    if pool:
+        ref, refp = ref
+        got, gotp = got
+    rr = np.asarray(ref, np.float32)
+    gg = np.asarray(got, np.float32)
+    Bc, R, OC, CL = gg.shape
+    assert CL == 4 * Cout
+    gu = gg.reshape(Bc, R, OC, 4, Cout).reshape(Bc, R, OC * 4, Cout)
+    Ho, Wo = -(-H // 2), -(-W // 2)
+    assert rr.shape[1] == R
+    np.testing.assert_array_equal(gu[:, :, :Wo], rr[:, :, :Wo])
+    if pool:
+        rp = np.asarray(refp, np.float32)
+        gp = np.asarray(gotp, np.float32)
+        Bc, Hp, Wpq, CL = gp.shape
+        gpu = gp.reshape(Bc, Hp, Wpq, 4, Cout).reshape(
+            Bc, Hp, Wpq * 4, Cout)
+        np.testing.assert_array_equal(gpu[:, :, :rp.shape[2]], rp)
