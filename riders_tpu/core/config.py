@@ -205,6 +205,10 @@ class SMLTrainConfig:
     # knots only; 'interp' densifies the knots over the frame
     # (modules/interpolator.py Interpolator2D, device IDW approximation).
     rcnet_interp: str = "rcnet_0.1"
+    # Validation-time knot source when it differs from training (the NTU
+    # protocol trains on rcnet_0.4 and validates on rcnet_0.5 -
+    # train_ntu.py:482 vs val_ntu.py:399); None = same as rcnet_interp.
+    rcnet_interp_val: Optional[str] = None
     n_step_per_summary: int = 10
     n_step_per_checkpoint: int = 1000
 
@@ -296,7 +300,12 @@ def ntu_config(root: str = "", **overrides) -> RidersConfig:
         rcnet=RCNetConfig(patch_size=(150, 50), response_threshold=0.4),
         rcnet_train=RCNetTrainConfig(
             points_per_frame=40, batch_size=24, learning_rates=(2e-4,)),
-        sml_train=SMLTrainConfig(w_lidar_loss=1.0, rcnet_interp="rcnet_0.5"),
+        sml_train=SMLTrainConfig(
+            w_lidar_loss=1.0,
+            # train on rcnet_0.4, validate on rcnet_0.5
+            # (train_ntu.py:482, val_ntu.py:399)
+            rcnet_interp="rcnet_0.4", rcnet_interp_val="rcnet_0.5",
+            learning_rates=(5e-5, 2e-5), learning_schedule=(10, 80)),
         eval=EvalConfig(max_depth_val=70.0),
     )
     return cfg.replace(**overrides) if overrides else cfg

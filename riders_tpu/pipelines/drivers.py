@@ -336,8 +336,9 @@ def validate_sml(cfg: RidersConfig, checkpoint_dir: str,
     checkpoint on the clear-day split, vote best results (>3 of 7 improve).
     Returns the best metric bundle."""
     t = cfg.sml_train
+    val_interp = t.rcnet_interp_val or t.rcnet_interp
     records = build_manifest(cfg.dataset, cfg.dataset.val_scenes,
-                             rcnet_interp=_rcnet_dir(t.rcnet_interp))
+                             rcnet_interp=_rcnet_dir(val_interp))
     dataset = SMLFrameDataset(cfg, records, train=False)
     loader = BatchLoader(dataset, batch_size, shuffle=False,
                          drop_last=False)

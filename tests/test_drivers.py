@@ -12,9 +12,11 @@ from riders_tpu.core.config import zju_config
 from riders_tpu.io import depthio
 
 
-def make_mini_dataset(root, scenes, n_frames=3, H=96, W=128, seed=0):
-    """Synthetic scenes with known geometry: smooth depth field, radar
-    returns sampled from it, interpolated GT = the true field."""
+def make_mini_dataset(root, scenes, n_frames=3, H=96, W=128, seed=0,
+                      depth_span=(5.0, 30.0, 10.0)):
+    """Synthetic scenes with known geometry: smooth depth field
+    (base + a*y/H + b*x/W per `depth_span`), radar returns sampled from
+    it, interpolated GT = the true field."""
     rng = np.random.default_rng(seed)
     for scene in scenes:
         for d in ("thermal_undistort", "any", "radar_png", "lidar_png",
@@ -25,7 +27,8 @@ def make_mini_dataset(root, scenes, n_frames=3, H=96, W=128, seed=0):
         for f in range(n_frames):
             fid = f"{f:06d}"
             yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
-            depth = 5.0 + 30.0 * (yy / H) + 10.0 * (xx / W) \
+            base, ay, ax = depth_span
+            depth = base + ay * (yy / H) + ax * (xx / W) \
                 + rng.random((H, W)).astype(np.float32)
             image = np.clip(rng.random((H, W, 3)) * 255, 0, 255
                             ).astype(np.uint8)
