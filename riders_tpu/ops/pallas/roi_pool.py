@@ -517,13 +517,17 @@ def roi_max_pool_pallas_foldw(canvas: jnp.ndarray,
 def unfold_pooled(pooled: jnp.ndarray, out_w: int, channels: int
                   ) -> jnp.ndarray:
     """(B, K, out_h, OQ, 4*C) folded pool output -> (B, K, out_h, out_w,
-    C) standard layout (one XLA relayout, replacing the pooled-output
-    copies the flat kernel's consumers pay anyway)."""
+    C) standard layout.
+
+    The folded lane order (w%4)*C + c IS the flat w*C + c order within
+    each 128-lane group, so flattening the last two dims is a free
+    bitcast and the whole unfold is ONE offset-0 lane slice (the
+    reshape-then-w-slice form cost an extra permute copy + a mid-tensor
+    slice, 2.0 ms/call at the ZJU geometry - trace, round 4)."""
     B, K, out_h, OQ, CL = pooled.shape
     C = channels
-    x = pooled.reshape(B, K, out_h, OQ, 4, C).reshape(
-        B, K, out_h, OQ * 4, C)
-    return x[:, :, :, :out_w]
+    x = pooled.reshape(B, K, out_h, OQ * CL)[..., :out_w * C]
+    return x.reshape(B, K, out_h, out_w, C)
 
 
 # ---------------------------------------------------------------------------

@@ -177,6 +177,13 @@ def _nearest_axis(x: jnp.ndarray, axis: int, in_n: int, out_n: int
     resize2d): repetition runs when upsampling, one-hot matmul otherwise."""
     axis = axis % x.ndim
     runs = _nearest_runs(in_n, out_n) if out_n > in_n else None
+    # Irregular W upscales keep the one-hot matmul: on the ZJU decoder's
+    # (512, 60, 12->25, 128) resize the slice+broadcast+concat chain
+    # measured 0.94 ms/call vs the matmul's 0.58 (trace, round 4) - the
+    # W dim sits in sublanes of the conv layout and the pieces each pay
+    # a relayout.  H resizes and exact integer factors use repetition.
+    if runs is not None and len(runs) > 1 and axis != x.ndim - 3:
+        runs = None
     if runs is not None and len(runs) <= 4:
         pieces = []
         for a, b, c in runs:
