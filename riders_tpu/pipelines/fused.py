@@ -43,8 +43,10 @@ def make_fused_fn(cfg: RidersConfig, rcnet: RCNet, sml: ScaleMapLearner):
     """Build fn(rc_vars, sml_vars, batch) -> (B, H, W) metric depth.
 
     batch:
-      image: (B, H, W, 3) frames in [0, 1].
-      mono_pred: (B, H, W) relative inverse-depth prior.
+      image: (B, H, W, 3) frames in [0, 1], or uint8 (compact host
+        staging: 4x fewer H2D bytes, normalized on device).
+      mono_pred: (B, H, W) relative inverse-depth prior, or uint16 PNG16
+        fixed-point codes (io/depthio.py x256 codec, decoded on device).
       radar_points: (B, K, 3) (u, v, z) in unpadded pixel coords.
       point_mask: (B, K).
     """
@@ -55,6 +57,11 @@ def make_fused_fn(cfg: RidersConfig, rcnet: RCNet, sml: ScaleMapLearner):
     @jax.jit
     def fused(rc_vars, sml_vars, batch: Dict[str, jnp.ndarray]):
         image = batch["image"]
+        if image.dtype == jnp.uint8:
+            image = image.astype(jnp.float32) * (1.0 / 255.0)
+        mono = batch["mono_pred"]
+        if mono.dtype == jnp.uint16:
+            mono = mono.astype(jnp.float32) * (1.0 / 256.0)
         # Edge-pad on device (rcnet_main.py:441-444) via one-hot matmuls
         # - jnp.pad(mode='edge') lowers through boundary-row relayouts
         # that cost ~2.4 ms/call (ops/resize.edge_pad2d).  Padding in the
@@ -88,9 +95,9 @@ def make_fused_fn(cfg: RidersConfig, rcnet: RCNet, sml: ScaleMapLearner):
                 batch["radar_points"], batch["point_mask"])
 
         x, d = jax.vmap(
-            lambda img, mono, radar, q: prepare_sml_inputs(
-                cfg, img, mono, radar, q))(
-                    image, batch["mono_pred"], radar_sparse, quasi_depth)
+            lambda img, mono_p, radar, q: prepare_sml_inputs(
+                cfg, img, mono_p, radar, q))(
+                    image, mono, radar_sparse, quasi_depth)
 
         pred_inv, _ = sml.apply(sml_vars, x.astype(sml.dtype), d)
         depth = resize2d(1.0 / pred_inv, (H, W), "bicubic",

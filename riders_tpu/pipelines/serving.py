@@ -14,9 +14,10 @@ upload thread sustains it comfortably.
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
-from typing import Callable, Dict, Iterable, Iterator, Optional
+from typing import Callable, Dict, Iterable, Iterator, Optional, Sequence
 
 import numpy as np
 
@@ -96,3 +97,51 @@ class FusedServer:
                     if not thread.is_alive():
                         break
             thread.join(timeout=10.0)
+
+
+class FusedInferenceDataset:
+    """On-disk frame loader for the fused RC-Net+SML serving path.
+
+    Each frame is the interchange triple the reference's stage-2 pipeline
+    reads from disk (run_rcnet_zju.py:138-166 loads image + radar .npy;
+    val_zju.py:210-238 loads the mono prior as a x256 PNG16): here
+    `<name>_image.png` (RGB), `<name>_mono.png` (PNG16 x256 inverse-depth
+    prior), `<name>_radar.npy` (n x 3 (u, v, depth)).  Samples carry the
+    exact batch keys `pipelines/fused.py` consumes, so
+    BatchLoader(FusedInferenceDataset(...)) feeds FusedServer directly.
+
+    `compact=True` stages the image as uint8 and the mono prior as its
+    raw PNG16 x256 fixed-point code (uint16): 3.2x fewer host->device
+    bytes per frame, with the [0,1] / x256 decode running on device
+    (fused fn dtype dispatch).  Falls back to float32 for depth maps
+    that overflow the 16-bit code (>255 m, stored as mode-'I' PNGs).
+    """
+
+    def __init__(self, frame_dirs_or_names: Sequence[str], root: str = "",
+                 max_points: int = 48, compact: bool = False):
+        self.names = [os.path.join(root, n) for n in frame_dirs_or_names]
+        self.max_points = max_points
+        self.compact = compact
+
+    def __len__(self) -> int:
+        return len(self.names)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        from PIL import Image
+
+        from riders_tpu.io import depthio
+        base = self.names[index]
+        if self.compact:
+            image = np.asarray(
+                Image.open(base + "_image.png").convert("RGB"), np.uint8)
+            mono = np.asarray(Image.open(base + "_mono.png"))
+            if mono.dtype != np.uint16:
+                mono = (mono.astype(np.float32) / 256.0).clip(min=0)
+        else:
+            image = depthio.load_image(
+                base + "_image.png", normalize=True).astype(np.float32)
+            mono = depthio.load_depth(base + "_mono.png")
+        points = depthio.load_radar_points(base + "_radar.npy")
+        pts, mask = depthio.pad_points(points, self.max_points)
+        return {"image": image, "mono_pred": mono,
+                "radar_points": pts, "point_mask": mask}

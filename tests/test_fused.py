@@ -67,6 +67,62 @@ def test_fused_pipeline_end_to_end(rng):
     assert np.mean(d > 0) > 0.95
     assert d.mean() > 1.0
 
+    # ---- compact staging: uint8 image + uint16 PNG16 codes ----
+    # The fused fn's dtype dispatch normalizes/decodes on device; the
+    # compact batch must reproduce the f32 result (identical up to the
+    # one-ulp difference between x/255 and x*(1/255) ahead of the bf16
+    # model casts).
+    img_u8 = (np.asarray(batch["image"]) * 255).round().astype(np.uint8)
+    mono_u16 = (np.asarray(batch["mono_pred"]) * 256).astype(np.uint16)
+    compact = {
+        "image": jnp.asarray(img_u8),
+        "mono_pred": jnp.asarray(mono_u16),
+        "radar_points": batch["radar_points"],
+        "point_mask": batch["point_mask"],
+    }
+    f32_equiv = {
+        "image": jnp.asarray(img_u8.astype(np.float32) / 255.0),
+        "mono_pred": jnp.asarray(mono_u16.astype(np.float32) / 256.0),
+        "radar_points": batch["radar_points"],
+        "point_mask": batch["point_mask"],
+    }
+    d_compact = np.asarray(fused(rc_vars, sml_vars, compact))
+    d_f32 = np.asarray(fused(rc_vars, sml_vars, f32_equiv))
+    np.testing.assert_allclose(d_compact, d_f32, rtol=1e-4, atol=1e-3)
+
+    # ---- FusedInferenceDataset: on-disk roundtrip, both modes ----
+    import tempfile
+
+    from PIL import Image
+
+    from riders_tpu.io import depthio
+    from riders_tpu.pipelines.serving import FusedInferenceDataset
+
+    with tempfile.TemporaryDirectory() as root:
+        names = []
+        for b in range(B):
+            name = f"f{b:02d}"
+            base = f"{root}/{name}"
+            Image.fromarray(img_u8[b]).save(base + "_image.png")
+            depthio.save_depth(np.asarray(batch["mono_pred"][b]),
+                               base + "_mono.png")
+            np.save(base + "_radar.npy", pts[b][: int(mask[b].sum())])
+            names.append(name)
+        ds_f32 = FusedInferenceDataset(names, root=root, max_points=K)
+        ds_c = FusedInferenceDataset(names, root=root, max_points=K,
+                                     compact=True)
+        s_f32, s_c = ds_f32[0], ds_c[0]
+        assert s_c["image"].dtype == np.uint8
+        assert s_c["mono_pred"].dtype == np.uint16
+        np.testing.assert_allclose(
+            s_c["image"].astype(np.float32) / 255.0, s_f32["image"],
+            atol=1e-6)
+        np.testing.assert_allclose(
+            s_c["mono_pred"].astype(np.float32) / 256.0,
+            s_f32["mono_pred"], atol=1e-6)
+        np.testing.assert_array_equal(s_c["radar_points"],
+                                      s_f32["radar_points"])
+
     # ---- FusedServer: pipelined serving over the same fn ----
     import threading
 
