@@ -32,6 +32,7 @@ def assemble_parity_md() -> None:
     interp = _load("interp")
     rcnet_train = _load("rcnet_train")
     dpt = _load("dpt")
+    beit = _load("beit")
 
     lines = [
         "# PARITY - riders_tpu vs PyTorch reference",
@@ -85,6 +86,27 @@ def assemble_parity_md() -> None:
             "side the jitted DPTScaleMapLearner with converted weights "
             "(tests/test_reference_parity.py::"
             "test_dpt_end_to_end_metric_parity):",
+            "",
+            "| metric | reference | riders_tpu | rel. deviation | budget |",
+            "|---|---|---|---|---|",
+        ]
+        for k in METRIC_KEYS:
+            lines.append(f"| {k} | {ref[k]:.6f} | {riders[k]:.6f} | "
+                         f"{rel[k] * 100:.4f}% | 1% |")
+        lines.append("")
+    if beit:
+        ref, riders, rel = beit["ref"], beit["riders"], beit["rel"]
+        lines += [
+            "## BEiT-L/16-512 SML: end-to-end val parity",
+            "",
+            "Same protocol with the reference's DPT *default* backbone "
+            "(dpt_depth.py:33, train_zju.py:189 use beitl16_512) at the "
+            "real dimensions - embed 1024, depth 24, heads 16, pretrained "
+            "grid 32 - including the runtime rel-pos-bias resize "
+            "(backbones/beit.py:29-63) to the non-square (4, 6) mini "
+            "window on both sides "
+            "(tests/test_reference_parity.py::"
+            "test_dpt_beit_end_to_end_metric_parity):",
             "",
             "| metric | reference | riders_tpu | rel. deviation | budget |",
             "|---|---|---|---|---|",

@@ -84,7 +84,26 @@ class TBEiTAttn(nn.Module):
             torch.zeros(num_rel, HEADS))
         self.proj = nn.Linear(DIM, DIM)
 
-    def forward(self, x):
+    def _rel_pos_bias(self, window):
+        """Reference _get_rel_pos_bias (backbones/beit.py:29-63): when the
+        runtime window differs from the pretrained grid, bilinearly resize
+        the spatial sub-table (the reference reshapes it width-major; the
+        pretrained table is square so the quirk cancels) and keep the 3
+        cls rows."""
+        wh, ww = window
+        table = self.relative_position_bias_table
+        if (wh, ww) != (GRID, GRID):
+            old = 2 * GRID - 1
+            nh_, nw_ = 2 * wh - 1, 2 * ww - 1
+            sub = table[:-3].reshape(1, old, old, -1).permute(0, 3, 1, 2)
+            sub = F.interpolate(sub, size=(nh_, nw_), mode="bilinear")
+            sub = sub.permute(0, 2, 3, 1).reshape(nh_ * nw_, -1)
+            table = torch.cat([sub, table[-3:]])
+        idx = gen_relative_position_index(wh, ww)
+        n = wh * ww + 1
+        return table[idx.view(-1)].view(n, n, HEADS).permute(2, 0, 1)
+
+    def forward(self, x, window=None):
         B, N, C = x.shape
         hd = C // HEADS
         bias = torch.cat((self.q_bias, torch.zeros_like(self.q_bias),
@@ -93,9 +112,7 @@ class TBEiTAttn(nn.Module):
         qkv = qkv.reshape(B, N, 3, HEADS, hd).permute(2, 0, 3, 1, 4)
         q, k, v = qkv.unbind(0)
         attn = (q * hd ** -0.5) @ k.transpose(-2, -1)
-        idx = gen_relative_position_index(GRID, GRID)
-        rel = self.relative_position_bias_table[idx.view(-1)].view(
-            N, N, HEADS).permute(2, 0, 1)
+        rel = self._rel_pos_bias(window or (GRID, GRID))
         attn = attn + rel.unsqueeze(0)
         attn = attn.softmax(dim=-1)
         out = (attn @ v).transpose(1, 2).reshape(B, N, C)
@@ -124,9 +141,9 @@ class TBlock(nn.Module):
             self.gamma_2 = nn.Parameter(torch.ones(DIM))
         self.beit = beit
 
-    def forward(self, x):
+    def forward(self, x, window=None):
         if self.beit:
-            x = x + self.gamma_1 * self.attn(self.norm1(x))
+            x = x + self.gamma_1 * self.attn(self.norm1(x), window)
             return x + self.gamma_2 * self.mlp(self.norm2(x))
         x = x + self.attn(self.norm1(x))
         return x + self.mlp(self.norm2(x))
@@ -167,7 +184,7 @@ class TBackbone(nn.Module):
                 h = h + self.pos_embed
         taps = []
         for blk in self.blocks:
-            h = blk(h)
+            h = blk(h, (gh, gw)) if self.beit else blk(h)
             taps.append(h)
         return taps
 
@@ -291,7 +308,7 @@ class TDPT(nn.Module):
         return pred
 
 
-def _run_twin(backbone, rng):
+def _run_twin(backbone, rng, net=None):
     torch.manual_seed(1)
     tmodel = TDPT(beit=(backbone == "beit")).eval()
     with torch.no_grad():
@@ -300,10 +317,13 @@ def _run_twin(backbone, rng):
 
     sd = {k: np.asarray(v.numpy()) for k, v in tmodel.state_dict().items()}
     cfg = tiny_config(backbone)
+    if net is not None:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, net_shape=net)
     variables = convert.convert_dpt_state_dict(sd, cfg)
 
     model = DPTScaleMapLearner(config=cfg)
-    H, W = NET
+    H, W = cfg.net_shape
     x = rng.standard_normal((1, H, W, 3)).astype(np.float32)
     d = (rng.random((1, H, W, 1)) * 5).astype(np.float32)
 
@@ -330,6 +350,15 @@ def test_dpt_converter_vit(rng):
 @pytest.mark.slow
 def test_dpt_converter_beit(rng):
     _run_twin("beit", rng)
+
+
+@pytest.mark.slow
+def test_dpt_converter_beit_resized_window(rng):
+    """Runtime grid (3, 5) != pretrained grid (4, 4), non-square: both
+    sides must resize the pretrained rel-pos-bias spatial sub-table to
+    the runtime window (backbones/beit.py:29-63) - the risk surface for
+    beitl16_512 running at arbitrary net shapes."""
+    _run_twin("beit", rng, net=(48, 80))
 
 
 def test_dpt_full_size_key_map():

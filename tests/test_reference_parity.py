@@ -463,6 +463,64 @@ def test_dpt_end_to_end_metric_parity(reference_env, mini_root,
     assert not bad, f"metrics beyond the 1% budget: {bad}"
 
 
+@pytest.mark.slow
+def test_dpt_beit_end_to_end_metric_parity(reference_env, mini_root,
+                                           monkeypatch):
+    """Round-3 VERDICT next #2: the full val protocol with BEiT-L/16-512
+    - the reference's DPT *default* backbone (dpt_depth.py:33,
+    train_zju.py:189) - in place of midas-small.
+
+    The torch twin runs at the REAL beitl16_512 dimensions (embed 1024,
+    depth 24, heads 16, pretrained grid 32, hooks 5/11/17/23, reassemble
+    256/512/1024/1024 - blocks_large.py:35-41) including the reference's
+    runtime rel-pos-bias resize (backbones/beit.py:29-63): the mini net
+    shape (64, 96) puts the runtime window at (4, 6), non-square and far
+    from the pretrained 32x32, so the decomposed-bias interpolation is
+    genuinely exercised on both sides."""
+    import torch
+
+    import test_convert_dpt as tcd
+
+    for k, v in dict(DIM=1024, HEADS=16, DEPTH=24, GRID=32,
+                     REASSEMBLE=(256, 512, 1024, 1024), FEATURES=256,
+                     HOOKS=(5, 11, 17, 23)).items():
+        monkeypatch.setattr(tcd, k, v)
+
+    torch.manual_seed(13)
+    model = tcd.TDPT(beit=True)
+    with torch.no_grad():
+        for p in model.parameters():
+            p.normal_(0, 0.02)
+    model.eval()
+
+    cfg = _mini_cfg(mini_root)
+    cfg = cfg.replace(sml=dataclasses.replace(cfg.sml,
+                                              model_type="dpt-beit-large"))
+    scenes = ("scene-b",)
+
+    ref = _run_reference_validation(reference_env, model, mini_root,
+                                    scenes)
+
+    from riders_tpu.models import convert
+    from riders_tpu.models.factory import build_sml_model
+    rmodel = build_sml_model(cfg)
+    assert rmodel.config.pretrained_grid == 32  # beitl16_512 row
+    sd = {k: np.asarray(v.detach().numpy())
+          for k, v in model.state_dict().items()}
+    variables = convert.convert_dpt_state_dict(sd, rmodel.config)
+
+    riders = _run_riders_validation(cfg, variables, scenes)
+
+    rel = {k: abs(riders[k] - ref[k]) / max(abs(ref[k]), 1e-12)
+           for k in METRIC_KEYS}
+    from parity_common import write_fragment
+    write_fragment("beit", {"ref": ref, "riders": riders, "rel": rel})
+
+    bad = {k: f"{rel[k]:.4%} (ref {ref[k]:.6f} vs riders {riders[k]:.6f})"
+           for k in METRIC_KEYS if rel[k] > BUDGET}
+    assert not bad, f"metrics beyond the 1% budget: {bad}"
+
+
 # ---------------------------------------------------------------------------
 # Stage-2 parity: the reference's own RC-Net (networks.py / rcnet_model.py /
 # rcnet_main.forward_output) vs the riders_tpu jitted stage-2 pipeline with
