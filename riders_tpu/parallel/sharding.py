@@ -36,9 +36,18 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
     path at all (SURVEY.md 2.10b); here multi-host is one call - after it,
     `make_mesh()` spans every chip in the job and the same jit-sharded
     train steps scale out (data parallelism over DCN, everything else over
-    ICI).  No-op when env-based auto-detection applies (TPU pods)."""
+    ICI).  No-op when env-based auto-detection applies (TPU pods).
+
+    On the CPU backend (the multi-host CI analog, tests/test_multihost.py)
+    cross-process collectives need an explicit implementation - without it
+    the CPU client silently comes up single-process."""
+    import os
+
     import jax
 
+    if (os.environ.get("JAX_PLATFORMS", "").split(",")[0].strip()
+            == "cpu"):
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
     if coordinator_address is None and num_processes is None:
         jax.distributed.initialize()
     else:
