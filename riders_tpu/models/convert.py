@@ -404,14 +404,17 @@ def convert_dpt_state_dict(sd: Dict[str, np.ndarray], cfg) -> Dict[str, Any]:
 
 
 def _convert_dpt_scratch(sd: Dict[str, np.ndarray], cfg,
-                         params: Dict[str, Any]) -> None:
+                         params: Dict[str, Any],
+                         levels: int = 4) -> None:
     """scratch.* (layer_rn / refinenets / output head) - shared by every
-    DPT backbone family."""
-    for n in (1, 2, 3, 4):
+    DPT backbone family.  `levels` is 3 for the hierarchical 3-hook
+    families (levit_384, dpt_depth.py:131-139); the deepest refinenet
+    takes no skip, so its resConfUnit1 is dead weight and skipped."""
+    for n in range(1, levels + 1):
         params[f"layer{n}_rn"] = {
             "kernel": _conv(sd, f"scratch.layer{n}_rn.weight")}
 
-    for n in (1, 2, 3, 4):
+    for n in range(1, levels + 1):
         rn = f"scratch.refinenet{n}"
         blk = {
             "out_conv": _conv_entry(sd, f"{rn}.out_conv"),
@@ -420,7 +423,7 @@ def _convert_dpt_scratch(sd: Dict[str, np.ndarray], cfg,
                 "conv2": _conv_entry(sd, f"{rn}.resConfUnit2.conv2"),
             },
         }
-        if n != 4:  # refinenet4 takes no skip; resConfUnit1 is dead there
+        if n != levels:  # the deepest refinenet takes no skip
             blk["res_conf_unit1"] = {
                 "conv1": _conv_entry(sd, f"{rn}.resConfUnit1.conv1"),
                 "conv2": _conv_entry(sd, f"{rn}.resConfUnit1.conv2"),
@@ -430,6 +433,98 @@ def _convert_dpt_scratch(sd: Dict[str, np.ndarray], cfg,
     params["head_conv1"] = _conv_entry(sd, "scratch.output_conv.0")
     params["head_conv2"] = _conv_entry(sd, "scratch.output_conv.2")
     params["head_conv3"] = _conv_entry(sd, "scratch.output_conv.4")
+
+
+def _fold_bn(w: np.ndarray, sd, bn_prefix: str, out_axis: int = 0,
+             eps: float = 1e-5):
+    """Fold an eval-mode BatchNorm into the preceding linear/conv weight
+    (timm levit's own `fuse()`, backbones/levit.py:72-84):
+    w' = w * gamma/sqrt(var+eps) on the out-channel axis,
+    b' = beta - mean * gamma/sqrt(var+eps)."""
+    g = sd[bn_prefix + ".weight"]
+    s = g / np.sqrt(sd[bn_prefix + ".running_var"] + eps)
+    shape = [1] * w.ndim
+    shape[out_axis] = -1
+    return w * s.reshape(shape), \
+        sd[bn_prefix + ".bias"] - sd[bn_prefix + ".running_mean"] * s
+
+
+def _linear_bn(sd, prefix):
+    """timm levit LinearNorm (`.c` Linear without bias + `.bn` BN1d) ->
+    folded flax Dense."""
+    w, b = _fold_bn(sd[prefix + ".c.weight"], sd, prefix + ".bn")
+    return {"kernel": np.ascontiguousarray(w.T), "bias": b}
+
+
+def _conv_bn(sd, prefix):
+    """timm levit ConvNorm (conv no-bias + BN2d) -> folded flax Conv."""
+    w, b = _fold_bn(sd[prefix + ".c.weight"], sd, prefix + ".bn")
+    return {"kernel": np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0))),
+            "bias": b}
+
+
+def _convtranspose_bn(sd, prefix):
+    """ConvTransposeNorm (backbones/levit.py:55-84): torch
+    ConvTranspose2d weight (I, O, kh, kw) has its out channels on axis 1;
+    fold the BN there, then map to flax like _convtranspose."""
+    w, b = _fold_bn(sd[prefix + ".c.weight"], sd, prefix + ".bn",
+                    out_axis=1)
+    return {"kernel": np.ascontiguousarray(
+        np.transpose(w, (2, 3, 0, 1))[::-1, ::-1]), "bias": b}
+
+
+def convert_levit_state_dict(sd: Dict[str, np.ndarray], cfg
+                             ) -> Dict[str, Any]:
+    """DPT levit_384 (backbones/levit.py + dpt_depth.py:60,96-99) state
+    dict -> DPTScaleMapLearner('levit') variables.
+
+    Every LinearNorm/ConvNorm/ConvTransposeNorm BatchNorm is folded into
+    its weight (see _fold_bn), so the returned tree has params only.
+    `cfg` is a models.dpt.DPTConfig with backbone='levit'; the block walk
+    mirrors timm levit_384's flat nn.Sequential numbering (stage blocks
+    as Residual pairs, AttentionSubsample + its MLP between stages)."""
+    from riders_tpu.models.levit import LeViTConfig
+
+    lcfg = cfg.levit or LeViTConfig()
+    p = "pretrained.model."
+    backbone: Dict[str, Any] = {}
+    for j in (0, 2, 4, 6):   # stem convs sit at even Sequential slots
+        backbone[f"stem_conv{j}"] = _conv_bn(sd, p + f"patch_embed.{j}")
+
+    i = 0
+    for si in range(3):
+        for _ in range(lcfg.depths[si]):
+            bp = p + f"blocks.{i}.m."
+            backbone[f"blocks_{i}"] = {
+                "qkv": _linear_bn(sd, bp + "qkv"),
+                "proj": _linear_bn(sd, bp + "proj.1"),
+                "attention_biases": sd[bp + "attention_biases"],
+            }
+            i += 1
+            bp = p + f"blocks.{i}.m."
+            backbone[f"blocks_{i}"] = {"fc1": _linear_bn(sd, bp + "0"),
+                                       "fc2": _linear_bn(sd, bp + "2")}
+            i += 1
+        if si < 2:
+            bp = p + f"blocks.{i}."
+            backbone[f"blocks_{i}"] = {
+                "kv": _linear_bn(sd, bp + "kv"),
+                "q": _linear_bn(sd, bp + "q.1"),
+                "proj": _linear_bn(sd, bp + "proj.1"),
+                "attention_biases": sd[bp + "attention_biases"],
+            }
+            i += 1
+            bp = p + f"blocks.{i}.m."
+            backbone[f"blocks_{i}"] = {"fc1": _linear_bn(sd, bp + "0"),
+                                       "fc2": _linear_bn(sd, bp + "2")}
+            i += 1
+
+    params: Dict[str, Any] = {"pretrained": backbone}
+    _convert_dpt_scratch(sd, cfg, params, levels=3)
+    for j, slot in enumerate((0, 2)):   # acts sit between (slots 1, 3)
+        params[f"stem_transpose_conv{j}"] = _convtranspose_bn(
+            sd, f"scratch.stem_transpose.{slot}")
+    return {"params": params}
 
 
 def _convert_hybrid_backbone(sd: Dict[str, np.ndarray], p: str,

@@ -61,6 +61,14 @@ class DPTConfig:
     # swin2 backbone plan (used when backbone == 'swin2'); None selects
     # the swinv2_large_window12to24_192to384 default
     swin2: Optional[Any] = None
+    # levit backbone plan (used when backbone == 'levit'); None selects
+    # the timm levit_384 default.  The levit DPT runs a 3-hook decode
+    # with a hard-swish ConvTranspose stem after refinenet1 and a
+    # narrower head (dpt_depth.py:60,96-99: stem_b4_transpose(256, 128),
+    # head_features_1=64, head_features_2=8).
+    levit: Optional[Any] = None
+    head_features_1: Optional[int] = None   # None -> features
+    head_features_2: int = 32
 
 
 class ViTBlock(nn.Module):
@@ -497,6 +505,13 @@ class DPTScaleMapLearner(nn.Module):
                            dtype=self.dtype, name=f"reassemble{i + 3}")(
                                tokens, grid)
                 for i, tokens in enumerate(hooks)]
+        elif cfg.backbone == "levit":
+            # levit_384 (backbones/levit.py): 3 hierarchical hooks, no
+            # readout/reassembly - transpose+unflatten straight into the
+            # scratch convs (forward_levit:9-20).
+            from riders_tpu.models.levit import LeViTBackbone, LeViTConfig
+            maps = LeViTBackbone(cfg.levit or LeViTConfig(),
+                                 dtype=self.dtype, name="pretrained")(x)
         else:
             taps, grid = ViTBackbone(cfg, dtype=self.dtype,
                                      name="pretrained")(x)
@@ -513,28 +528,61 @@ class DPTScaleMapLearner(nn.Module):
                         use_bias=False, dtype=self.dtype,
                         name=f"layer{i + 1}_rn")(h)
             feats.append(h)
-        l1, l2, l3, l4 = feats
 
-        p4 = FusionBlockL(cfg.features, dtype=self.dtype,
-                          name="refinenet4")(l4, size=l3.shape[-3:-1])
-        p3 = FusionBlockL(cfg.features, dtype=self.dtype,
-                          name="refinenet3")(p4, l3, size=l2.shape[-3:-1])
+        if len(feats) == 3:
+            # 3-layer decode (dpt_depth.py:131-139): refinenet3 opens the
+            # path (no deeper skip).
+            l1, l2, l3 = feats
+            p3 = FusionBlockL(cfg.features, dtype=self.dtype,
+                              name="refinenet3")(l3, size=l2.shape[-3:-1])
+        else:
+            l1, l2, l3, l4 = feats
+            p4 = FusionBlockL(cfg.features, dtype=self.dtype,
+                              name="refinenet4")(l4, size=l3.shape[-3:-1])
+            p3 = FusionBlockL(cfg.features, dtype=self.dtype,
+                              name="refinenet3")(p4, l3,
+                                                 size=l2.shape[-3:-1])
         p2 = FusionBlockL(cfg.features, dtype=self.dtype,
                           name="refinenet2")(p3, l2, size=l1.shape[-3:-1])
         p1 = FusionBlockL(cfg.features, dtype=self.dtype,
                           name="refinenet1")(p2, l1)
 
+        if cfg.backbone == "levit":
+            # stem_b4_transpose(features, features//2, hard_swish)
+            # (dpt_depth.py:99, backbones/levit.py:88-99): two
+            # ConvTranspose3x3/s2 (torch output_padding=0 -> 2i-1) with
+            # folded BN, each followed by hard-swish.
+            for j, c in enumerate((cfg.features // 2, cfg.features // 4)):
+                p1 = nn.ConvTranspose(
+                    c, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
+                    dtype=self.dtype, name=f"stem_transpose_conv{j}")(p1)
+                p1 = nn.hard_swish(p1)
+
         # Output head (dpt_depth.py:169-177): conv3 -> x2 bilinear (ac=True)
-        # -> conv3 -> relu -> conv1 -> relu (non_negative).
-        h = nn.Conv(cfg.features // 2, (3, 3), padding=[(1, 1), (1, 1)],
+        # -> conv3 -> relu -> conv1 -> relu (non_negative).  Channel plan
+        # head_features_1 -> /2 -> head_features_2 -> 1 (the levit config
+        # narrows these to 64/8, dpt_depth.py:166-176 kwargs).
+        hf1 = cfg.head_features_1 or cfg.features
+        h = nn.Conv(hf1 // 2, (3, 3), padding=[(1, 1), (1, 1)],
                     dtype=self.dtype, name="head_conv1")(p1)
         h = resize2d(h, (2 * h.shape[-3], 2 * h.shape[-2]), "bilinear",
                      align_corners=True)
-        h = nn.Conv(32, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype,
-                    name="head_conv2")(h)
+        h = nn.Conv(cfg.head_features_2, (3, 3), padding=[(1, 1), (1, 1)],
+                    dtype=self.dtype, name="head_conv2")(h)
         h = nn.relu(h)
         out = nn.Conv(1, (1, 1), dtype=self.dtype, name="head_conv3")(h)
         out = nn.relu(out.astype(jnp.float32))
+
+        if cfg.backbone == "levit" and out.shape[-3:-1] != d.shape[-3:-1]:
+            # stem_b4_transpose's ConvTranspose2d(3, 2, 1) quirk
+            # (output_padding=0 -> 2i-1) lands the levit head at
+            # 2*(2*(2g-1)-1) pixels, short of the net shape; the
+            # reference's own `pred = d * scales` (dpt_depth.py:146-149)
+            # would shape-error here - it never instantiates levit - so
+            # align the scale map to the prior with the family's
+            # align_corners=True bilinear convention.
+            out = resize2d(out, d.shape[-3:-1], "bilinear",
+                           align_corners=True)
 
         scales = nn.relu(1.0 + out)
         pred = d.astype(jnp.float32) * scales

@@ -30,6 +30,7 @@ DPT_FAMILIES = {
     "dpt-swin2-base":      ("swin2", None, 24, "base"),     # swin2b24_384
     "dpt-swin2-tiny":      ("swin2", None, 16, "tiny"),     # swin2t16_256
     "dpt-swin-large":      ("swin2", None, 12, "v1-large"), # swinl12_384
+    "dpt-levit-224":       ("levit", None, 14, None),       # levit_384
 }
 
 
@@ -84,6 +85,16 @@ def build_sml_model(cfg: RidersConfig, dtype=jnp.float32):
             plan, in_feats = _swin_plan(swin)
             kw["swin2"] = plan
             kw["reassemble_channels"] = in_feats
+        if backbone == "levit":
+            # 3-hook hierarchical decode with the narrow head
+            # (dpt_depth.py:60,96-99 + the levit_384 scratch row
+            # blocks_large.py:90-96)
+            from riders_tpu.models.levit import LeViTConfig
+            kw["levit"] = LeViTConfig()
+            kw["hooks"] = (3, 11, 21)
+            kw["reassemble_channels"] = (384, 512, 768)
+            kw["head_features_1"] = 64
+            kw["head_features_2"] = 8
         dcfg = DPTConfig(net_shape=sml.net_shape, backbone=backbone,
                          pretrained_grid=grid,
                          in_channels=sml.in_channels,
