@@ -1,5 +1,10 @@
 """Shared PARITY.md assembly: parity tests dump JSON fragments and any of
-them re-renders the document, so sections survive partial reruns."""
+them re-renders the document, so sections survive partial reruns.
+
+`.parity_fragments/*.json` is deliberately TRACKED in git: the fragments
+are PARITY.md's data source (raw metric values from the last full parity
+run), and keeping them lets a partial rerun of one test re-render the
+whole document without losing the other sections."""
 
 import json
 import os
@@ -165,6 +170,9 @@ def assemble_parity_md() -> None:
     lines += [
         "Regenerate: `python -m pytest tests/test_reference_parity.py "
         "tests/test_drivers.py::test_validate_sml_interp_modes -q --slow`.",
+        "Raw metric values are tracked in `.parity_fragments/*.json` - "
+        "the data source this document is assembled from "
+        "(tests/parity_common.py).",
     ]
     with open(os.path.join(REPO_ROOT, "PARITY.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
