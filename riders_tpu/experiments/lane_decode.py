@@ -32,6 +32,12 @@ def _check_eligible(dec, n_batch: int, skip1) -> None:
     assert dec.n_resolution == 1 and dec.use_batch_norm, (
         "lane_mode requires the single-resolution batch-norm decoder")
     assert "leaky_relu" in dec.activation and dec.output_channels == 1
+    # decode_full hardcodes the 5-deep block walk (deconv4..1 + the
+    # deconv0/output0 phase tail); the depth-6/7 decoders the production
+    # path supports would silently walk the wrong deconv names here.
+    assert len(dec.n_filters) == 5, (
+        "lane_mode only supports the default depth-5 decoder, got "
+        f"n_filters={tuple(dec.n_filters)}")
     assert n_batch % 128 == 0, "patch batch must be a multiple of 128"
     assert tuple(dec.output_shape) == (2 * skip1.shape[-3],
                                        2 * skip1.shape[-2]), (

@@ -482,10 +482,35 @@ def convert_levit_state_dict(sd: Dict[str, np.ndarray], cfg
     its weight (see _fold_bn), so the returned tree has params only.
     `cfg` is a models.dpt.DPTConfig with backbone='levit'; the block walk
     mirrors timm levit_384's flat nn.Sequential numbering (stage blocks
-    as Residual pairs, AttentionSubsample + its MLP between stages)."""
-    from riders_tpu.models.levit import LeViTConfig
+    as Residual pairs, AttentionSubsample + its MLP between stages).
+
+    The learned attention-bias tables are grid-specific (one row per
+    unique |dy|,|dx| offset of the token grid the checkpoint was trained
+    at, e.g. 14x14 for 224x224).  LeViTAttention/LeViTSubsample gather
+    with indices built from the RUNTIME grid and flax apply() does not
+    shape-check supplied params, so a net_shape mismatch would silently
+    misindex (XLA clamps out-of-range gather indices).  Each table is
+    therefore checked here against the offset count cfg.net_shape
+    implies, and conversion fails loudly on mismatch."""
+    from riders_tpu.models.levit import (LeViTConfig, _bias_idxs,
+                                         _grid_points)
 
     lcfg = cfg.levit or LeViTConfig()
+    # Stem: four 3x3/s2 pad-1 convs -> ceil(extent / 16) token grid.
+    grid = (-(-cfg.net_shape[0] // 16), -(-cfg.net_shape[1] // 16))
+
+    def _checked_bias(tbl: np.ndarray, n_off: int, name: str
+                      ) -> np.ndarray:
+        if tbl.shape[-1] != n_off:
+            raise ValueError(
+                f"levit checkpoint table {name!r} holds {tbl.shape[-1]} "
+                f"attention-bias offsets, but net_shape="
+                f"{tuple(cfg.net_shape)} implies a {grid} token grid "
+                f"needing {n_off}: the checkpoint was trained at a "
+                "different input resolution (timm levit_384 ships "
+                "14x14 = 224x224 tables); pick the matching net_shape")
+        return tbl
+
     p = "pretrained.model."
     backbone: Dict[str, Any] = {}
     for j in (0, 2, 4, 6):   # stem convs sit at even Sequential slots
@@ -493,12 +518,16 @@ def convert_levit_state_dict(sd: Dict[str, np.ndarray], cfg
 
     i = 0
     for si in range(3):
+        pts = _grid_points(*grid)
+        _, n_off = _bias_idxs(pts, pts)
         for _ in range(lcfg.depths[si]):
             bp = p + f"blocks.{i}.m."
             backbone[f"blocks_{i}"] = {
                 "qkv": _linear_bn(sd, bp + "qkv"),
                 "proj": _linear_bn(sd, bp + "proj.1"),
-                "attention_biases": sd[bp + "attention_biases"],
+                "attention_biases": _checked_bias(
+                    sd[bp + "attention_biases"], n_off,
+                    bp + "attention_biases"),
             }
             i += 1
             bp = p + f"blocks.{i}.m."
@@ -506,13 +535,19 @@ def convert_levit_state_dict(sd: Dict[str, np.ndarray], cfg
                                        "fc2": _linear_bn(sd, bp + "2")}
             i += 1
         if si < 2:
+            sub = ((grid[0] - 1) // 2 + 1, (grid[1] - 1) // 2 + 1)
+            _, n_off_sub = _bias_idxs(_grid_points(*sub),
+                                      _grid_points(*grid), stride=2)
             bp = p + f"blocks.{i}."
             backbone[f"blocks_{i}"] = {
                 "kv": _linear_bn(sd, bp + "kv"),
                 "q": _linear_bn(sd, bp + "q.1"),
                 "proj": _linear_bn(sd, bp + "proj.1"),
-                "attention_biases": sd[bp + "attention_biases"],
+                "attention_biases": _checked_bias(
+                    sd[bp + "attention_biases"], n_off_sub,
+                    bp + "attention_biases"),
             }
+            grid = sub
             i += 1
             bp = p + f"blocks.{i}.m."
             backbone[f"blocks_{i}"] = {"fc1": _linear_bn(sd, bp + "0"),

@@ -45,8 +45,13 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
 
     import jax
 
-    if (os.environ.get("JAX_PLATFORMS", "").split(",")[0].strip()
-            == "cpu"):
+    # The platform may be selected via env OR jax.config; checking only
+    # the env var would silently come up single-process for config-based
+    # CPU runs.  (jax.default_backend() can't be probed here - it would
+    # initialize the backend before distributed.initialize.)
+    platforms = (os.environ.get("JAX_PLATFORMS", "")
+                 or (getattr(jax.config, "jax_platforms", None) or ""))
+    if platforms.split(",")[0].strip() == "cpu":
         jax.config.update("jax_cpu_collectives_implementation", "gloo")
     if coordinator_address is None and num_processes is None:
         jax.distributed.initialize()
@@ -54,6 +59,16 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes, process_id=process_id)
+        # Fail loudly if the client still came up single-process (e.g. a
+        # CPU backend picked a collectives impl without cross-process
+        # support) - the silent failure mode this function exists to
+        # prevent.
+        if jax.process_count() != num_processes:
+            raise RuntimeError(
+                f"jax.distributed.initialize joined "
+                f"{jax.process_count()} process(es), expected "
+                f"{num_processes}; multi-process collectives are not "
+                "wired up on this backend")
 
 
 def make_mesh(n_data: int = -1, n_points: int = 1,

@@ -115,6 +115,11 @@ class FusedInferenceDataset:
     bytes per frame, with the [0,1] / x256 decode running on device
     (fused fn dtype dispatch).  Falls back to float32 for depth maps
     that overflow the 16-bit code (>255 m, stored as mode-'I' PNGs).
+    The fallback is PER-DATASET, decided once from the PNG headers: a
+    per-frame fallback could mix uint16 codes and decoded floats in one
+    batch, numpy stacking would promote the codes to float32, and the
+    device dtype dispatch would then skip their /256 decode - silently
+    scaling those priors 256x.
     """
 
     def __init__(self, frame_dirs_or_names: Sequence[str], root: str = "",
@@ -122,6 +127,23 @@ class FusedInferenceDataset:
         self.names = [os.path.join(root, n) for n in frame_dirs_or_names]
         self.max_points = max_points
         self.compact = compact
+        self._mono_u16: Optional[bool] = None
+
+    def _mono_is_uint16(self) -> bool:
+        """True iff EVERY mono PNG in the dataset carries a 16-bit code.
+
+        Header-only probe (PIL.Image.open is lazy), cached; racing
+        loader threads recompute the same answer idempotently."""
+        if self._mono_u16 is None:
+            from PIL import Image
+            ok = True
+            for base in self.names:
+                with Image.open(base + "_mono.png") as im:
+                    if im.mode not in ("I;16", "I;16B", "I;16L"):
+                        ok = False
+                        break
+            self._mono_u16 = ok
+        return self._mono_u16
 
     def __len__(self) -> int:
         return len(self.names)
@@ -135,7 +157,9 @@ class FusedInferenceDataset:
             image = np.asarray(
                 Image.open(base + "_image.png").convert("RGB"), np.uint8)
             mono = np.asarray(Image.open(base + "_mono.png"))
-            if mono.dtype != np.uint16:
+            if self._mono_is_uint16():
+                mono = mono.astype(np.uint16, copy=False)
+            else:
                 mono = (mono.astype(np.float32) / 256.0).clip(min=0)
         else:
             image = depthio.load_image(

@@ -410,3 +410,15 @@ def test_levit_full_size_key_map():
     problems = convert.check_tree_matches(variables["params"],
                                           template["params"])
     assert not problems, problems[:10]
+
+
+def test_levit_converter_rejects_grid_mismatch():
+    """The checkpoint bias tables are grid-specific; converting for a
+    net_shape implying a different token grid must fail loudly (a silent
+    pass would misindex the table at apply time - clamped, not erroring)."""
+    tmodel = TDPTLevit().eval()
+    sd = {k: np.asarray(v.numpy()) for k, v in tmodel.state_dict().items()
+          if "bias_idx" not in k}
+    cfg = dataclasses.replace(tiny_config(), net_shape=(2 * IMG, 2 * IMG))
+    with pytest.raises(ValueError, match="attention-bias offsets"):
+        convert.convert_levit_state_dict(sd, cfg)
