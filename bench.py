@@ -132,17 +132,39 @@ def device_time_per_call(fused, rc_vars, sml_vars, batch,
     return float(np.median(samples))
 
 
-def main():
-    preset = "zju" if "--zju" in sys.argv[1:] else "ntu"
+def measure(preset: str) -> float:
     fused, rc_vars, sml_vars, batch = build(preset)
     per_call = device_time_per_call(fused, rc_vars, sml_vars, batch)
-    fps = BATCH / per_call
-    tag = "" if preset == "ntu" else " (zju patch geometry)"
+    return BATCH / per_call
+
+
+def main():
+    args = sys.argv[1:]
+    # --zju / --ntu restrict to one geometry (same-session A/B work);
+    # the default driver run measures BOTH so the recorded JSON line
+    # witnesses the flagship ZJU figure, not just the NTU headline.
+    only = "zju" if "--zju" in args else ("ntu" if "--ntu" in args
+                                          else None)
+    if only is not None:
+        fps = measure(only)
+        tag = "" if only == "ntu" else " (zju patch geometry)"
+        print(json.dumps({
+            "metric": f"fused RC-Net+SML inference fps/chip @640x512{tag}",
+            "value": round(fps, 1),
+            "unit": "fps",
+            "vs_baseline": round(fps / TARGET_FPS, 3),
+        }))
+        return
+    ntu_fps = measure("ntu")
+    zju_fps = measure("zju")
     print(json.dumps({
-        "metric": f"fused RC-Net+SML inference fps/chip @640x512{tag}",
-        "value": round(fps, 1),
+        "metric": "fused RC-Net+SML inference fps/chip @640x512 "
+                  "(ntu patch geometry; zju_fps = zju patch geometry)",
+        "value": round(ntu_fps, 1),
         "unit": "fps",
-        "vs_baseline": round(fps / TARGET_FPS, 3),
+        "vs_baseline": round(ntu_fps / TARGET_FPS, 3),
+        "zju_fps": round(zju_fps, 1),
+        "zju_vs_baseline": round(zju_fps / TARGET_FPS, 3),
     }))
 
 
