@@ -562,6 +562,112 @@ def convert_levit_state_dict(sd: Dict[str, np.ndarray], cfg
     return {"params": params}
 
 
+def _bn_affine(sd, prefix, eps: float = 1e-5):
+    """Standalone eval-mode BatchNorm -> per-channel Affine
+    (models/next_vit.Affine): scale = gamma/sqrt(var+eps),
+    bias = beta - mean*scale."""
+    s = sd[prefix + ".weight"] / np.sqrt(sd[prefix + ".running_var"] + eps)
+    return {"scale": s,
+            "bias": sd[prefix + ".bias"] - sd[prefix + ".running_mean"] * s}
+
+
+def _nv_conv_norm(sd, prefix, conv=".conv", norm=".norm"):
+    """Next-ViT ConvBNReLU / PatchEmbed conv (no-bias conv + BN2d) ->
+    folded flax Conv {kernel, bias}."""
+    w, b = _fold_bn(sd[prefix + conv + ".weight"], sd, prefix + norm)
+    return {"kernel": np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0))),
+            "bias": b}
+
+
+def _nv_mlp(sd, prefix):
+    """Next-ViT Mlp: two 1x1 Conv2d WITH bias -> flax Dense pair."""
+    def dense(k):
+        w = sd[f"{prefix}.{k}.weight"][:, :, 0, 0]       # (O, I)
+        return {"kernel": np.ascontiguousarray(w.T),
+                "bias": sd[f"{prefix}.{k}.bias"]}
+    return {"conv1": dense("conv1"), "conv2": dense("conv2")}
+
+
+def _nv_mhca(sd, prefix):
+    """Next-ViT MHCA: grouped 3x3 no-bias conv + BN (folded) -> relu ->
+    biasless 1x1 projection."""
+    return {
+        "group_conv": _nv_conv_norm(sd, prefix, ".group_conv3x3"),
+        "projection": {
+            "kernel": _conv(sd, prefix + ".projection.weight")},
+    }
+
+
+def convert_next_vit_state_dict(sd: Dict[str, np.ndarray], cfg
+                                ) -> Dict[str, Any]:
+    """DPT next_vit_large_6m state dict -> DPTScaleMapLearner('next_vit')
+    variables.
+
+    Key layout is the Next-ViT classification trunk the reference
+    instantiates through timm registration
+    (backbones/next_vit.py:32-39: `timm.create_model("nextvit_large")`
+    after the vendored `classification.nextvit` import registers it;
+    hooks on the flat `features` list).  Every BatchNorm is folded: the
+    no-bias conv+BN pairs (stem ConvBNReLU, PatchEmbed, MHCA group conv)
+    into conv weights, the standalone norms (NCB `.norm`, NTB
+    `.norm1/.norm2`, E-MHSA's post-pool BatchNorm1d) into Affine
+    scale/bias params - the flax tree has params only, no batch_stats."""
+    from riders_tpu.models.next_vit import NextViTConfig, stage_plan
+
+    nvcfg = cfg.next_vit or NextViTConfig()
+    types, chans = stage_plan(nvcfg)
+
+    p = "pretrained.model."
+    backbone: Dict[str, Any] = {}
+    for j in range(4):
+        backbone[f"stem_conv{j}"] = _nv_conv_norm(sd, p + f"stem.{j}")
+
+    i = 0
+    in_ch = nvcfg.stem_chs[-1]
+    for si in range(4):
+        for bi, (bt, c) in enumerate(zip(types[si], chans[si])):
+            stride = nvcfg.strides[si] if bi == 0 else 1
+            bp = p + f"features.{i}"
+            blk: Dict[str, Any] = {}
+            if bt == "ncb":
+                if stride == 2 or in_ch != c:
+                    blk["patch_embed"] = {
+                        "conv": _nv_conv_norm(sd, bp + ".patch_embed")}
+                blk["mhca"] = _nv_mhca(sd, bp + ".mhca")
+                blk["norm"] = _bn_affine(sd, bp + ".norm")
+                blk["mlp"] = _nv_mlp(sd, bp + ".mlp")
+            else:
+                mhsa_ch = _next_vit_divisible(c * nvcfg.mix_block_ratio)
+                if stride == 2 or in_ch != mhsa_ch:
+                    blk["patch_embed"] = {
+                        "conv": _nv_conv_norm(sd, bp + ".patch_embed")}
+                blk["norm1"] = _bn_affine(sd, bp + ".norm1")
+                ea: Dict[str, Any] = {
+                    k: {"kernel": _linear(sd, f"{bp}.e_mhsa.{k}.weight"),
+                        "bias": sd[f"{bp}.e_mhsa.{k}.bias"]}
+                    for k in ("q", "k", "v", "proj")}
+                if nvcfg.sr_ratios[si] > 1:
+                    ea["norm"] = _bn_affine(sd, bp + ".e_mhsa.norm")
+                blk["e_mhsa"] = ea
+                blk["projection"] = {
+                    "conv": _nv_conv_norm(sd, bp + ".projection")}
+                blk["mhca"] = _nv_mhca(sd, bp + ".mhca")
+                blk["norm2"] = _bn_affine(sd, bp + ".norm2")
+                blk["mlp"] = _nv_mlp(sd, bp + ".mlp")
+            backbone[f"blocks_{i}"] = blk
+            in_ch = c
+            i += 1
+
+    params: Dict[str, Any] = {"pretrained": backbone}
+    _convert_dpt_scratch(sd, cfg, params, levels=4)
+    return {"params": params}
+
+
+def _next_vit_divisible(v: float) -> int:
+    from riders_tpu.models.next_vit import _make_divisible
+    return _make_divisible(v)
+
+
 def _convert_hybrid_backbone(sd: Dict[str, np.ndarray], p: str,
                              cfg) -> Dict[str, Any]:
     """timm `vit_base_resnet50_384` keys -> models.dpt HybridViTBackbone

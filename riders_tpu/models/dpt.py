@@ -67,6 +67,10 @@ class DPTConfig:
     # narrower head (dpt_depth.py:60,96-99: stem_b4_transpose(256, 128),
     # head_features_1=64, head_features_2=8).
     levit: Optional[Any] = None
+    # next_vit backbone plan (used when backbone == 'next_vit'); None
+    # selects the timm nextvit_large default (hooks [2, 6, 36, 39],
+    # scratch channels [96, 256, 512, 1024] - dpt_depth.py:59,66-69).
+    next_vit: Optional[Any] = None
     head_features_1: Optional[int] = None   # None -> features
     head_features_2: int = 32
 
@@ -505,6 +509,14 @@ class DPTScaleMapLearner(nn.Module):
                            dtype=self.dtype, name=f"reassemble{i + 3}")(
                                tokens, grid)
                 for i, tokens in enumerate(hooks)]
+        elif cfg.backbone == "next_vit":
+            # next_vit_large_6m (backbones/next_vit.py): 4 hierarchical
+            # conv-map hooks at strides 4..32, no readout/reassembly -
+            # straight into the scratch convs (forward_next_vit:11-12).
+            from riders_tpu.models.next_vit import (NextViTBackbone,
+                                                    NextViTConfig)
+            maps = NextViTBackbone(cfg.next_vit or NextViTConfig(),
+                                   dtype=self.dtype, name="pretrained")(x)
         elif cfg.backbone == "levit":
             # levit_384 (backbones/levit.py): 3 hierarchical hooks, no
             # readout/reassembly - transpose+unflatten straight into the

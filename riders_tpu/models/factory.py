@@ -31,6 +31,7 @@ DPT_FAMILIES = {
     "dpt-swin2-tiny":      ("swin2", None, 16, "tiny"),     # swin2t16_256
     "dpt-swin-large":      ("swin2", None, 12, "v1-large"), # swinl12_384
     "dpt-levit-224":       ("levit", None, 14, None),       # levit_384
+    "dpt-next-vit-large":  ("next_vit", None, 24, None),    # next_vit_large_6m
 }
 
 
@@ -85,6 +86,12 @@ def build_sml_model(cfg: RidersConfig, dtype=jnp.float32):
             plan, in_feats = _swin_plan(swin)
             kw["swin2"] = plan
             kw["reassemble_channels"] = in_feats
+        if backbone == "next_vit":
+            # 4 conv-map hooks, scratch channels per dpt_depth.py:66-69.
+            from riders_tpu.models.next_vit import NextViTConfig
+            kw["next_vit"] = NextViTConfig()
+            kw["hooks"] = (2, 6, 36, 39)
+            kw["reassemble_channels"] = (96, 256, 512, 1024)
         if backbone == "levit":
             # 3-hook hierarchical decode with the narrow head
             # (dpt_depth.py:60,96-99 + the levit_384 scratch row
