@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from riders_tpu.core.config import RidersConfig
 from riders_tpu.models.rcnet import RCNet
 from riders_tpu.models.sml import ScaleMapLearner
+from riders_tpu.models import sml_folded
 from riders_tpu.ops.patches import (adaptive_threshold_value,
                                     compose_patches_batched)
 from riders_tpu.ops.resize import edge_pad2d, resize2d
@@ -53,6 +54,14 @@ def make_fused_fn(cfg: RidersConfig, rcnet: RCNet, sml: ScaleMapLearner):
     patch = cfg.rcnet.patch_size
     H, W = cfg.dataset.image_shape
     pad_y, pad_x = patch[0] // 2, patch[1] // 2
+    # The W-folded SML stage (exact re-layout, parity-tested:
+    # tests/test_sml_folded.py) measured SLOWER than the literal module
+    # in a same-session ZJU A/B (401.5 vs 442.3 fps - see the
+    # sml_folded.py docstring and PERF.md); it stays available as an
+    # opt-in experiment via RIDERS_SML_FOLD=1.
+    use_fold = (sml.dtype == jnp.bfloat16
+                and cfg.sml.model_type == "midas-small"
+                and sml_folded.supports_folding(sml, cfg.sml.net_shape))
 
     @jax.jit
     def fused(rc_vars, sml_vars, batch: Dict[str, jnp.ndarray]):
@@ -99,7 +108,15 @@ def make_fused_fn(cfg: RidersConfig, rcnet: RCNet, sml: ScaleMapLearner):
                 cfg, img, mono_p, radar, q))(
                     image, mono, radar_sparse, quasi_depth)
 
-        pred_inv, _ = sml.apply(sml_vars, x.astype(sml.dtype), d)
+        if use_fold:
+            # W-folded SML forward (models/sml_folded.py): exact
+            # re-layout of the same ops on a full-lane (B,H,W/4,4C)
+            # canvas; the literal module path burns ~7.65 ms/call in
+            # quarter-lane convs + layout copies (PERF.md round-4).
+            pred_inv, _ = sml_folded.folded_sml_apply(
+                sml, sml_vars, x.astype(sml.dtype), d)
+        else:
+            pred_inv, _ = sml.apply(sml_vars, x.astype(sml.dtype), d)
         depth = resize2d(1.0 / pred_inv, (H, W), "bicubic",
                          align_corners=False)[..., 0]
         return depth
