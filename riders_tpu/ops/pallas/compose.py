@@ -91,6 +91,20 @@ def compose_patches_pallas(responses: jnp.ndarray,
         kc -= 1
     n_chunks = K // kc
 
+    # Emit the cropped maps in H-bands over EXTRA grid steps rather than
+    # holding full (H, W) output blocks resident: the full-frame blocks
+    # double-buffer to ~5 MB at 640x512 and, together with the three
+    # canvases (~9.3 MB at the ZJU patch geometry), overflowed the 16 MB
+    # scoped-VMEM limit (batch 20/24 failed to compile - PERF.md).  Bands
+    # keep the resident output footprint ~0.6 MB at any batch size.
+    band_h = H
+    for cand in range(H, 7, -8):
+        if H % cand == 0 and cand % 8 == 0 and cand * W * 4 <= 512 * 1024:
+            band_h = cand
+            break
+    n_emit = H // band_h
+    n_steps = n_chunks + n_emit
+
     def kernel(y0_ref, x0_ref, z_ref, thr_ref, resp_ref,
                depth_out, resp_out, sum_r, sum_rz, max_r):
         b = pl.program_id(0)
@@ -124,27 +138,36 @@ def compose_patches_pallas(responses: jnp.ndarray,
             max_r[ys, xs] = jnp.maximum(max_r[ys, xs], placed)
             return 0
 
-        jax.lax.fori_loop(0, kc, body, 0)
-
-        @pl.when(c == n_chunks - 1)
+        @pl.when(c < n_chunks)
         def _():
-            m = max_r[crop_y:crop_y + H, crop_x:crop_x + W]
-            s = sum_r[crop_y:crop_y + H, crop_x:crop_x + W]
-            sz = sum_rz[crop_y:crop_y + H, crop_x:crop_x + W]
+            jax.lax.fori_loop(0, kc, body, 0)
+
+        @pl.when(c >= n_chunks)
+        def _():
+            y = crop_y + (c - n_chunks) * band_h    # 8-aligned: crop_y
+            ys = pl.ds(y, band_h)                   # and band_h are
+            xs = pl.ds(crop_x, W)                   # multiples of 8
+            m = max_r[ys, xs]
+            s = sum_r[ys, xs]
+            sz = sum_rz[ys, xs]
             depth_out[0] = jnp.where(m > 0,
                                      sz / jnp.where(s > 0, s, 1.0), 0.0)
             resp_out[0] = m
 
+    def out_idx(b, c, *_):
+        return (b, jnp.maximum(c - n_chunks, 0), 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,      # y0, x0, z, thr
-        grid=(B, n_chunks),
+        grid=(B, n_steps),
         in_specs=[
             pl.BlockSpec((1, kc, ph, pw),
-                         lambda b, c, *_: (b, c, 0, 0)),
+                         lambda b, c, *_: (b, jnp.minimum(c, n_chunks - 1),
+                                           0, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((1, H, W), lambda b, c, *_: (b, 0, 0)),
-            pl.BlockSpec((1, H, W), lambda b, c, *_: (b, 0, 0)),
+            pl.BlockSpec((1, band_h, W), out_idx),
+            pl.BlockSpec((1, band_h, W), out_idx),
         ),
         scratch_shapes=[
             pltpu.VMEM((ch, cw), jnp.float32),

@@ -37,6 +37,33 @@ def test_compose_parity_both_geometries(rng, patch, img):
     np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-6)
 
 
+def test_compose_parity_vmem_exceeding_batch(rng):
+    """Batch 20 at the ZJU geometry: the configuration whose full-frame
+    output blocks + canvases exceeded the 16 MB scoped-VMEM limit before
+    the banded-emit restructure (PERF.md round 5).  Interpret-mode
+    correctness here + the driver bench compiling it on hardware pin the
+    fix; per-frame thresholds exercise the threshold broadcast."""
+    patch, img = (240, 100), (480, 640)
+    ph, pw = patch
+    H, W = img
+    B, K = 20, 4
+    resp = rng.random((B, K, ph, pw)).astype(np.float32)
+    pts = np.stack([rng.integers(0, W + pw, (B, K)),
+                    rng.integers(0, H + ph, (B, K)),
+                    rng.random((B, K)) * 50 + 1], -1).astype(np.float32)
+    mask = (rng.random((B, K)) > 0.2).astype(np.float32)
+    thr = (0.2 + 0.4 * rng.random(B)).astype(np.float32)
+
+    d1, r1 = compose_patches_pallas(
+        jnp.asarray(resp), jnp.asarray(pts), jnp.asarray(mask), img, patch,
+        jnp.asarray(thr), interpret=True)
+    d2, r2 = jax.vmap(lambda a, b, c, t: compose_patches(
+        a, b, c, img, patch, t))(jnp.asarray(resp), jnp.asarray(pts),
+                                 jnp.asarray(mask), jnp.asarray(thr))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-6)
+
+
 @pytest.mark.parametrize("patch,scale,out_size,feat", [
     # ZJU pyramid levels on the padded 720x740 frame
     ((240, 100), 0.5, (120, 50), (360, 370, 8)),
