@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import queue
 import threading
+from contextlib import nullcontext as _nullcontext
 from typing import Dict, Iterator, List, Sequence
 
 import numpy as np
@@ -341,18 +342,48 @@ def _stack(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
     return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
 
 
+# Process-pool worker state: the dataset is shipped ONCE per worker via
+# the pool initializer (not per task - a bound __getitem__ would pickle
+# the dataset with every submit).  Module-level by necessity: worker
+# processes look the function up by qualified name.
+_POOL_DATASET = None
+
+
+def _pool_init(dataset) -> None:
+    global _POOL_DATASET
+    _POOL_DATASET = dataset
+
+
+def _pool_get(args):
+    epoch, index = args
+    ds = _POOL_DATASET
+    if hasattr(ds, "set_epoch"):
+        ds.set_epoch(epoch)      # cheap int set; keeps aug streams aligned
+    return ds[index]
+
+
 class BatchLoader:
     """Threaded batcher with device prefetch.
 
     Workers pull sample indices, run the dataset's __getitem__, and a
     collator thread stacks + device_puts finished batches; `prefetch`
     batches are staged ahead (the reference relies on DataLoader worker
-    processes, train_zju.py:133-148)."""
+    processes, train_zju.py:133-148).
+
+    ``num_workers > 0`` switches sample decode to a PROCESS pool (torch
+    DataLoader-style): PNG inflate is zlib inside the GIL, so thread
+    decode tops out near single-core rate regardless of thread count
+    (PERF.md "Host-fed serving"); serving at the device rate needs
+    process parallelism.  The dataset is shipped once per worker via the
+    pool initializer and must be picklable; per-epoch augmentation
+    streams stay deterministic because every sample derives its rng from
+    (seed, epoch, index), not worker identity."""
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  num_threads: int = 4, prefetch: int = 2, seed: int = 0,
                  drop_last: bool = True, device_put: bool = True,
-                 sharding=None):
+                 sharding=None, num_workers: int = 0,
+                 mp_context: str = "fork"):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -362,7 +393,32 @@ class BatchLoader:
         self.drop_last = drop_last
         self.device_put = device_put
         self.sharding = sharding
+        self.num_workers = num_workers
+        self.mp_context = mp_context
         self._epoch_count = 0
+        self._pool = None
+
+    def _process_pool(self):
+        if self._pool is None:
+            import multiprocessing
+            from concurrent.futures import ProcessPoolExecutor
+            self._pool = ProcessPoolExecutor(
+                self.num_workers,
+                mp_context=multiprocessing.get_context(self.mp_context),
+                initializer=_pool_init, initargs=(self.dataset,))
+        return self._pool
+
+    def close(self) -> None:
+        """Shut down the decode process pool (no-op for thread mode)."""
+        if self._pool is not None:
+            self._pool.shutdown()
+            self._pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -384,16 +440,29 @@ class BatchLoader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        epoch = self._epoch_count - 1
+
+        def fetch_threaded(pool, idxs):
+            return list(pool.map(self.dataset.__getitem__, idxs))
+
+        def fetch_process(pool, idxs):
+            return list(pool.map(_pool_get, [(epoch, int(i)) for i in idxs],
+                                 chunksize=1))
+
         def producer():
             try:
-                from concurrent.futures import ThreadPoolExecutor
-                with ThreadPoolExecutor(self.num_threads) as pool:
+                if self.num_workers > 0:
+                    pool, fetch = self._process_pool(), fetch_process
+                    run = _nullcontext(pool)
+                else:
+                    from concurrent.futures import ThreadPoolExecutor
+                    pool = ThreadPoolExecutor(self.num_threads)
+                    run, fetch = pool, fetch_threaded
+                with run:
                     for idxs in batches:
                         if stop.is_set():
                             return
-                        samples = list(pool.map(
-                            self.dataset.__getitem__, idxs))
-                        batch = _stack(samples)
+                        batch = _stack(fetch(pool, idxs))
                         if self.device_put:
                             batch = (jax.device_put(batch, self.sharding)
                                      if self.sharding is not None

@@ -132,6 +132,35 @@ def test_batch_loader_deterministic_across_threads(mini_root):
         for k in a[0])
 
 
+def test_batch_loader_process_pool_matches_threads(mini_root):
+    """num_workers>0 (process-pool decode, the host-fed serving path -
+    PERF.md: thread decode is GIL-bound zlib) must yield byte-identical
+    batches to the threaded loader, across epochs (set_epoch rides along
+    with each task)."""
+    from riders_tpu.io.input_pipeline import BatchLoader, SMLFrameDataset
+    from riders_tpu.io.manifest import build_manifest
+    cfg = mini_config(mini_root)
+    records = build_manifest(cfg.dataset, ("scene-a",),
+                             rcnet_interp="rcnet_0.1")
+
+    def collect(**kw):
+        ds = SMLFrameDataset(cfg, records, train=True, seed=7)
+        loader = BatchLoader(ds, batch_size=2, shuffle=True, seed=3,
+                             device_put=False, **kw)
+        try:
+            return [b for _ in range(2) for b in loader.epoch()]
+        finally:
+            loader.close()
+
+    a = collect(num_threads=2)
+    b = collect(num_workers=2)
+    assert len(a) == len(b) > 0
+    for ba, bb in zip(a, b):
+        for k in ba:
+            np.testing.assert_array_equal(np.asarray(ba[k]),
+                                          np.asarray(bb[k]))
+
+
 def test_rcnet_point_noise(mini_root):
     """Per-point noise (rcnet_transforms.py:158-168,398-432): perturbs the
     points fed to the encoder, leaves boxes/crops at un-noised geometry."""

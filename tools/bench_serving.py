@@ -86,6 +86,46 @@ def main():
     from riders_tpu.pipelines.serving import (FusedInferenceDataset,
                                               FusedServer)
 
+    # --- decode-only scaling (no device): --decode-scaling ------------
+    # PNG inflate is zlib inside the GIL, so thread decode tops out near
+    # single-core rate; this measures the process-pool decode path
+    # (BatchLoader num_workers) at increasing worker counts and exits.
+    if "--decode-scaling" in sys.argv[1:]:
+        H, W = (512, 640)
+        B = 16
+        root = f"/tmp/riders_serving_{preset}_{H}x{W}"
+        names = synthesize_tree(root, n_frames, H, W,
+                                40 if preset == "ntu" else 30)
+        ds = FusedInferenceDataset(names, root=root, max_points=48,
+                                   compact=compact)
+        results = {}
+        for mode, n_w in [("threads", 8), ("procs", 2), ("procs", 4),
+                          ("procs", 8), ("procs", 12), ("procs", 16)]:
+            kw = ({"num_threads": n_w} if mode == "threads"
+                  else {"num_workers": n_w})
+            ld = BatchLoader(ds, batch_size=B, shuffle=False, prefetch=3,
+                             drop_last=True, device_put=False, **kw)
+            try:
+                for _ in ld.epoch():      # warm page cache / fork pool
+                    pass
+                t0 = time.perf_counter()
+                n = 0
+                for _ in range(epochs):
+                    for b in ld.epoch():
+                        n += B
+                results[f"{mode}{n_w}"] = round(
+                    n / (time.perf_counter() - t0), 1)
+            finally:
+                ld.close()
+            print(json.dumps({"metric": f"decode-only fps ({preset}, "
+                                        f"{'compact' if compact else 'f32'}"
+                                        f", {mode} x{n_w})",
+                              "value": results[f"{mode}{n_w}"],
+                              "unit": "fps"}))
+        print(json.dumps({"metric": "decode-only scaling summary",
+                          **results}))
+        return
+
     fused, rc_vars, sml_vars, dev_batch = bench.build(preset)
     B, H, W = dev_batch["image"].shape[:3]
     K = dev_batch["radar_points"].shape[1]
