@@ -38,6 +38,8 @@ def assemble_parity_md() -> None:
     rcnet_train = _load("rcnet_train")
     dpt = _load("dpt")
     beit = _load("beit")
+    swin2 = _load("swin2")
+    levit = _load("levit")
 
     lines = [
         "# PARITY - riders_tpu vs PyTorch reference",
@@ -112,6 +114,48 @@ def assemble_parity_md() -> None:
             "window on both sides "
             "(tests/test_reference_parity.py::"
             "test_dpt_beit_end_to_end_metric_parity):",
+            "",
+            "| metric | reference | riders_tpu | rel. deviation | budget |",
+            "|---|---|---|---|---|",
+        ]
+        for k in METRIC_KEYS:
+            lines.append(f"| {k} | {ref[k]:.6f} | {riders[k]:.6f} | "
+                         f"{rel[k] * 100:.4f}% | 1% |")
+        lines.append("")
+    if swin2:
+        ref, riders, rel = swin2["ref"], swin2["riders"], swin2["rel"]
+        lines += [
+            "## SwinV2-L/24-384 SML: end-to-end val parity",
+            "",
+            "Same protocol with the swin2l24_384 backbone at the real "
+            "dimensions - embed 192, depths (2,2,18,2), heads "
+            "(6,12,24,48), window 24, pretrained windows (12,12,12,6) - "
+            "on square 128x128 mini-scenes at net 192x192, so stage 1's "
+            "48x48 grid genuinely exercises SHIFTED 24-windows with "
+            "attention masks, and the deeper stages the window-clamp "
+            "path (tests/test_reference_parity.py::"
+            "test_dpt_swin2_end_to_end_metric_parity):",
+            "",
+            "| metric | reference | riders_tpu | rel. deviation | budget |",
+            "|---|---|---|---|---|",
+        ]
+        for k in METRIC_KEYS:
+            lines.append(f"| {k} | {ref[k]:.6f} | {riders[k]:.6f} | "
+                         f"{rel[k] * 100:.4f}% | 1% |")
+        lines.append("")
+    if levit:
+        ref, riders, rel = levit["ref"], levit["riders"], levit["rel"]
+        lines += [
+            "## LeViT-384 (dpt_levit_224) SML: end-to-end val parity",
+            "",
+            "Same protocol with the levit_384 backbone at the real "
+            "dimensions - embed (384,512,768), depths (4,4,4), heads "
+            "(6,9,12), key_dim 32 - at the protocol resolution 224x224 "
+            "(grid 14x14 = the pretrained attention-bias tables), "
+            "including BN-folding of every Linear/Conv/ConvTranspose "
+            "Norm pair and the narrow 64/8 head + hard-swish transpose "
+            "stem (tests/test_reference_parity.py::"
+            "test_dpt_levit_end_to_end_metric_parity):",
             "",
             "| metric | reference | riders_tpu | rel. deviation | budget |",
             "|---|---|---|---|---|",

@@ -34,6 +34,7 @@ ATTN_RATIO = 2
 DOWN_RATIO = 4
 HOOKS = (1, 7, 13)
 FEATURES = 16
+HF2 = 4                        # head_features_2 (8 at full size)
 IMG = 64                       # stem /16 -> grid 4 -> 2 -> 1
 
 
@@ -227,7 +228,7 @@ class TDPTLevit(nn.Module):
         scratch.stem_transpose = nn.Sequential(
             CTN(f, f // 2), nn.Hardswish(), CTN(f // 2, f // 4),
             nn.Hardswish())
-        hf1, hf2 = f // 4, 4
+        hf1, hf2 = f // 4, HF2
         scratch.output_conv = nn.Sequential(
             nn.Conv2d(hf1, hf1 // 2, 3, 1, 1),
             nn.Upsample(scale_factor=2, mode="bilinear",

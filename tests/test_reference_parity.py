@@ -252,15 +252,16 @@ def reference_model(reference_env):
     return model
 
 
-def _run_reference_validation(val_zju, model, root, scenes):
+def _run_reference_validation(val_zju, model, root, scenes,
+                               net=(96, 64)):
     import modules.midas.transforms as ref_transforms
 
     val_zju.result_root = os.path.join(root, "output")
     val_zju.min_pred = 0.1
     val_zju.max_pred = 255.0
-    # net_w=96, net_h=64: the 'minimal' multiple-of-32 resize of the
-    # 96x128 mini frames (matches mini_config's sml.net_shape)
-    tfm = ref_transforms.get_transforms(96, 64,
+    # default net_w=96, net_h=64: the 'minimal' multiple-of-32 resize of
+    # the 96x128 mini frames (matches mini_config's sml.net_shape)
+    tfm = ref_transforms.get_transforms(net[0], net[1],
                                         depth_predictor="midas_small")
     best = {"step": -1, "mae": np.inf, "rmse": np.inf, "imae": np.inf,
             "irmse": np.inf, "abs_rel": np.inf, "sq_rel": np.inf,
@@ -947,3 +948,204 @@ def test_decoder_depth_and_output_func_parity(rcnet_env, depth,
         np.testing.assert_allclose(
             np.transpose(np.asarray(got), (0, 3, 1, 2)),
             ref.numpy(), rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------
+# Hierarchical-backbone end-to-end val parity (round-5 VERDICT next #5):
+# SwinV2-L (shifted-window masks) and LeViT-384 (BN folding + bias
+# tables at the real 14x14 grid) through the FULL validation protocol.
+# ---------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def square_mini_root(tmp_path_factory):
+    """128x128 mini-scenes: swin2's stage grids must stay divisible by
+    the (clamped) window at every stage, which needs a square net."""
+    from test_drivers import make_mini_dataset
+    root = str(tmp_path_factory.mktemp("parity_square"))
+    make_mini_dataset(root, ["scene-b"], H=128, W=128)
+    return root
+
+
+def _hier_dpt_twin(backbone, chans, features, nhwc_taps):
+    """Standard 4-level DPT assembly (dpt_depth.py:104-110,169-177)
+    around a hierarchical backbone whose forward returns 4 feature maps;
+    checkpoint key layout matches the reference's pretrained.model/
+    scratch naming so convert_dpt_state_dict consumes state_dict() as-is."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    from test_convert_dpt import TFusion
+
+    class TDPTHier(nn.Module):
+        def __init__(self):
+            super().__init__()
+            pre = nn.Module()
+            pre.model = backbone
+            self.pretrained = pre
+            f = features
+            scratch = nn.Module()
+            for i, c in enumerate(chans):
+                setattr(scratch, f"layer{i + 1}_rn",
+                        nn.Conv2d(c, f, 3, 1, 1, bias=False))
+            scratch.refinenet4 = TFusion(f, has_skip=False)
+            scratch.refinenet3 = TFusion(f, has_skip=True)
+            scratch.refinenet2 = TFusion(f, has_skip=True)
+            scratch.refinenet1 = TFusion(f, has_skip=True)
+            scratch.output_conv = nn.Sequential(
+                nn.Conv2d(f, f // 2, 3, 1, 1),
+                nn.Upsample(scale_factor=2, mode="bilinear",
+                            align_corners=True),
+                nn.Conv2d(f // 2, 32, 3, 1, 1),
+                nn.ReLU(True),
+                nn.Conv2d(32, 1, 1),
+                nn.ReLU(True))
+            self.scratch = scratch
+
+        def forward(self, x, d):
+            taps = self.pretrained.model(x)
+            if nhwc_taps:
+                taps = [t.permute(0, 3, 1, 2) for t in taps]
+            r = [getattr(self.scratch, f"layer{n + 1}_rn")(t)
+                 for n, t in enumerate(taps)]
+            p4 = self.scratch.refinenet4(r[3], size=r[2].shape[2:])
+            p3 = self.scratch.refinenet3(p4, r[2], size=r[1].shape[2:])
+            p2 = self.scratch.refinenet2(p3, r[1], size=r[0].shape[2:])
+            p1 = self.scratch.refinenet1(p2, r[0])
+            out = self.scratch.output_conv(p1)
+            scales = F.relu(1.0 + out)
+            pred = d * scales
+            pred = torch.clamp(pred, max=1.0 / 0.1)
+            pred = torch.clamp(pred, min=1.0 / 255.0)
+            return pred
+
+    return TDPTHier()
+
+
+def _square_cfg(root, model_type, net):
+    cfg = _mini_cfg(root)
+    return cfg.replace(
+        dataset=dataclasses.replace(cfg.dataset, image_shape=(128, 128)),
+        sml=dataclasses.replace(cfg.sml, model_type=model_type,
+                                net_shape=net))
+
+
+@pytest.mark.slow
+def test_dpt_swin2_end_to_end_metric_parity(reference_env,
+                                            square_mini_root,
+                                            monkeypatch):
+    """Round-5 VERDICT next #5(a): the full val protocol with SwinV2-L
+    (swin2l24_384) at the REAL dimensions - embed 192, depths (2,2,18,2),
+    heads (6,12,24,48), window 24, pretrained windows (12,12,12,6)
+    (blocks_large.py swin2l24_384 row via timm).  Net 192x192 puts stage
+    1's grid at 48x48 > window 24, so the shifted-window attention masks
+    - the highest-risk unproven machinery per the round-4 verdict - run
+    on both sides; deeper stages exercise the window clamp."""
+    import torch
+
+    import test_convert_swin2 as tcs
+
+    for k, v in dict(EMBED=192, DEPTHS=(2, 2, 18, 2),
+                     HEADS=(6, 12, 24, 48), WINDOW=24,
+                     PRETRAINED=(12, 12, 12, 6), IMG=192).items():
+        monkeypatch.setattr(tcs, k, v)
+
+    torch.manual_seed(17)
+    backbone = tcs.TSwin2()
+    model = _hier_dpt_twin(backbone, (192, 384, 768, 1536), 256,
+                           nhwc_taps=True)
+    with torch.no_grad():
+        for name, p in model.named_parameters():
+            if "logit_scale" not in name:
+                p.normal_(0, 0.02)
+    model.eval()
+
+    cfg = _square_cfg(square_mini_root, "dpt-swin2-large", (192, 192))
+    scenes = ("scene-b",)
+
+    ref = _run_reference_validation(reference_env, model,
+                                    square_mini_root, scenes,
+                                    net=(192, 192))
+
+    from riders_tpu.models import convert
+    from riders_tpu.models.factory import build_sml_model
+    rmodel = build_sml_model(cfg)
+    assert rmodel.config.backbone == "swin2"
+    sd = {k: np.asarray(v.detach().numpy())
+          for k, v in model.state_dict().items()
+          if "table" not in k and "rel_index" not in k
+          and ".mask" not in k}
+    variables = convert.convert_dpt_state_dict(sd, rmodel.config)
+
+    riders = _run_riders_validation(cfg, variables, scenes)
+
+    rel = {k: abs(riders[k] - ref[k]) / max(abs(ref[k]), 1e-12)
+           for k in METRIC_KEYS}
+    from parity_common import write_fragment
+    write_fragment("swin2", {"ref": ref, "riders": riders, "rel": rel})
+
+    bad = {k: f"{rel[k]:.4%} (ref {ref[k]:.6f} vs riders {riders[k]:.6f})"
+           for k in METRIC_KEYS if rel[k] > BUDGET}
+    assert not bad, f"metrics beyond the 1% budget: {bad}"
+
+
+@pytest.mark.slow
+def test_dpt_levit_end_to_end_metric_parity(reference_env,
+                                            square_mini_root,
+                                            monkeypatch):
+    """Round-5 VERDICT next #5(b): the full val protocol with LeViT-384
+    at the REAL dimensions - embed (384,512,768), depths (4,4,4), heads
+    (6,9,12), key_dim 32 - at the dpt_levit_224 protocol resolution
+    (224x224, stem grid 14x14 = the pretrained attention-bias tables),
+    exercising BN folding of every LinearNorm/ConvNorm/ConvTransposeNorm
+    pair, the 3-hook decode, the narrow 64/8 head and the hard-swish
+    transpose stem end to end."""
+    import torch
+
+    import test_convert_levit as tcl
+
+    for k, v in dict(EMBED=(384, 512, 768), KEY_DIM=32,
+                     HEADS=(6, 9, 12), DEPTHS=(4, 4, 4), ATTN_RATIO=2,
+                     DOWN_RATIO=4, HOOKS=(3, 11, 21), FEATURES=256,
+                     HF2=8, IMG=224).items():
+        monkeypatch.setattr(tcl, k, v)
+
+    torch.manual_seed(19)
+    model = tcl.TDPTLevit()
+    with torch.no_grad():
+        for p in model.parameters():
+            p.normal_(0, 0.02)
+        for m in model.modules():
+            if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+                m.running_mean.normal_(0, 0.1)
+                m.running_var.uniform_(0.5, 2.0)
+    model.eval()
+
+    cfg = _square_cfg(square_mini_root, "dpt-levit-224", (224, 224))
+    scenes = ("scene-b",)
+
+    ref = _run_reference_validation(reference_env, model,
+                                    square_mini_root, scenes,
+                                    net=(224, 224))
+
+    from riders_tpu.models import convert
+    from riders_tpu.models.factory import build_sml_model
+    rmodel = build_sml_model(cfg)
+    assert rmodel.config.backbone == "levit"
+    assert rmodel.config.head_features_1 == 64
+    assert rmodel.config.head_features_2 == 8
+    sd = {k: np.asarray(v.detach().numpy())
+          for k, v in model.state_dict().items() if "bias_idx" not in k}
+    variables = convert.convert_levit_state_dict(sd, rmodel.config)
+
+    riders = _run_riders_validation(cfg, variables, scenes)
+
+    rel = {k: abs(riders[k] - ref[k]) / max(abs(ref[k]), 1e-12)
+           for k in METRIC_KEYS}
+    from parity_common import write_fragment
+    write_fragment("levit", {"ref": ref, "riders": riders, "rel": rel})
+
+    bad = {k: f"{rel[k]:.4%} (ref {ref[k]:.6f} vs riders {riders[k]:.6f})"
+           for k in METRIC_KEYS if rel[k] > BUDGET}
+    assert not bad, f"metrics beyond the 1% budget: {bad}"
