@@ -181,3 +181,88 @@ def test_data_parallel_step_matches_single_device(rng):
     np.testing.assert_allclose(np.asarray(out_state.w),
                                np.asarray(ref_state.w), atol=1e-6)
     np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_sml_train_step_collectives_are_gradient_only():
+    """Round-5 VERDICT stretch #8: no accidental cross-device
+    synchronization in the data-parallel SML train step.  Wall-clock
+    scaling is meaningless on a virtual 1-core mesh, but the compiled
+    HLO is deterministic: with the batch sharded on `data` and the state
+    replicated, the ONLY collectives in the step must be reduction
+    all-reduces (the gradient/metric psums).  An accidental all-gather,
+    all-to-all or collective-permute would mean some activation or
+    parameter is being resharded every step - exactly the silent
+    scaling bug this pins against."""
+    import dataclasses
+    import re
+
+    import __graft_entry__ as ge
+    from riders_tpu.models.sml import ScaleMapLearner
+    from riders_tpu.pipelines.sml_training import (init_train_state,
+                                                   make_train_step)
+
+    cfg = ge._tiny_config()
+    model = ScaleMapLearner(config=cfg.sml, **ge._TINY_BACKBONE)
+    state, tx = init_train_state(cfg, model, jax.random.PRNGKey(0),
+                                 steps_per_epoch=10)
+    step_fn = jax.jit(make_train_step(cfg, model, tx))
+
+    mesh = sh.make_mesh(n_data=8, n_points=1)
+    B = 8
+    H, W = cfg.dataset.image_shape
+    rng = np.random.default_rng(0)
+    depth = (5.0 + 40.0 * rng.random((B, H, W))).astype(np.float32)
+    radar = np.where(rng.random((B, H, W)) > 0.99, depth, 0.0
+                     ).astype(np.float32)
+    batch = {
+        "image": rng.random((B, H, W, 3)).astype(np.float32),
+        "mono_pred": ((1.0 / depth) / 0.05).astype(np.float32),
+        "radar": radar, "rcnet": radar,
+        "gt_interp": depth, "gt_sparse": radar,
+    }
+    with mesh:
+        state_r = jax.device_put(state, sh.replicated(mesh))
+        batch_s = sh.shard_batch(mesh, batch)
+        compiled = step_fn.lower(state_r, batch_s).compile()
+
+    hlo = compiled.as_text()
+    assert "all-reduce" in hlo  # the gradient psum must exist
+    for bad in ("all-gather", "all-to-all", "collective-permute"):
+        offenders = [ln.strip() for ln in hlo.splitlines()
+                     if re.search(rf"=\s*\S*\s*{bad}", ln)]
+        if bad == "all-gather":
+            # Known, bounded exception: the alignment stage's
+            # valid-pixel bucket is a vmapped lax.top_k over each
+            # frame's flattened radar map, and this backend's SPMD
+            # partitioner does not batch-partition the TopK custom-call
+            # - it gathers the (B, H*W) operand and lets every device
+            # run the full TopK (found by this audit, round 5).  The
+            # gather is semantically per-frame (no cross-frame data
+            # flow) and bounded at ~1.3 MB/frame at production shapes.
+            # Anything else gathering is still a failure.
+            offenders = [ln for ln in offenders
+                         if "top_k" not in ln and "TopK" not in ln]
+        if bad == "collective-permute":
+            # The partitioner emits a single one-frame (<= H*W elements)
+            # halo permute for the edge-pad VJP in the smoothness loss -
+            # a 16 KB boundary artifact, not a resharded activation.
+            # Anything moving more than one frame's pixels is still a
+            # failure (a real reshard scales with B or C).
+            def n_elems(ln):
+                m = re.search(r"=\s*\w+\[([\d,]*)\]", ln)
+                n = 1
+                for d in (m.group(1).split(",") if m and m.group(1)
+                          else []):
+                    n *= int(d)
+                return n
+            H, W = cfg.sml.net_shape
+            offenders = [ln for ln in offenders if n_elems(ln) > H * W]
+        assert not offenders, (bad, [ln[:200] for ln in offenders[:5]])
+    # every all-reduce must be a reduction (add/min/max), i.e. a psum-
+    # style gradient/metric reduction, not a disguised reshard
+    ar_lines = [ln for ln in hlo.splitlines() if "all-reduce(" in ln
+                or "all-reduce-start(" in ln]
+    assert ar_lines, "no all-reduce found in the sharded step HLO"
+    for ln in ar_lines:
+        assert "to_apply" in ln, ln[:200]
