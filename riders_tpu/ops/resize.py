@@ -23,6 +23,7 @@ cached.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -251,12 +252,20 @@ def resize2d(x: jnp.ndarray,
 
     orig_dtype = x.dtype
     xf = x.astype(jnp.float32)
+    # Default f32 einsum precision on TPU is the 3-pass bf16
+    # decomposition (~2^-21 relative error, f32-like; bit-identical on
+    # CPU where parity tests run); 'highest' doubles the MXU pass count
+    # for no observable metric change and cost 7.5 fps on the ZJU bench
+    # (same-session A/B 449.9 vs 442.4, PERF.md step 18).
+    # RIDERS_RESIZE_HIGHEST=1 restores the 6-pass form for A/B work.
+    prec = ("highest" if os.environ.get("RIDERS_RESIZE_HIGHEST") == "1"
+            else None)
     if h != h2:
         xf = jnp.einsum("oh,...hwc->...owc", jnp.asarray(Wh), xf,
-                        precision="highest")
+                        precision=prec)
     if w != w2:
         xf = jnp.einsum("pw,...hwc->...hpc", jnp.asarray(Ww), xf,
-                        precision="highest")
+                        precision=prec)
     return xf.astype(orig_dtype)
 
 
