@@ -40,6 +40,7 @@ def assemble_parity_md() -> None:
     beit = _load("beit")
     swin2 = _load("swin2")
     levit = _load("levit")
+    hybrid = _load("hybrid")
 
     lines = [
         "# PARITY - riders_tpu vs PyTorch reference",
@@ -156,6 +157,26 @@ def assemble_parity_md() -> None:
             "Norm pair and the narrow 64/8 head + hard-swish transpose "
             "stem (tests/test_reference_parity.py::"
             "test_dpt_levit_end_to_end_metric_parity):",
+            "",
+            "| metric | reference | riders_tpu | rel. deviation | budget |",
+            "|---|---|---|---|---|",
+        ]
+        for k in METRIC_KEYS:
+            lines.append(f"| {k} | {ref[k]:.6f} | {riders[k]:.6f} | "
+                         f"{rel[k] * 100:.4f}% | 1% |")
+        lines.append("")
+    if hybrid:
+        ref, riders, rel = hybrid["ref"], hybrid["riders"], hybrid["rel"]
+        lines += [
+            "## dpt_hybrid (vitb_rn50_384) SML: end-to-end val parity",
+            "",
+            "Same protocol with the hybrid backbone at the real "
+            "dimensions - truncated non-preact ResNetV2-50 (TF-SAME "
+            "StdConv + GroupNorm, stages 3/4/9) feeding ViT-B/16, raw "
+            "resnet taps at /4 and /8, readout reassembly at /16 and "
+            "/32, runtime pos-embed interpolation 24x24 -> 12x12 "
+            "(tests/test_reference_parity.py::"
+            "test_dpt_hybrid_end_to_end_metric_parity):",
             "",
             "| metric | reference | riders_tpu | rel. deviation | budget |",
             "|---|---|---|---|---|",

@@ -1149,3 +1149,44 @@ def test_dpt_levit_end_to_end_metric_parity(reference_env,
     bad = {k: f"{rel[k]:.4%} (ref {ref[k]:.6f} vs riders {riders[k]:.6f})"
            for k in METRIC_KEYS if rel[k] > BUDGET}
     assert not bad, f"metrics beyond the 1% budget: {bad}"
+
+
+@pytest.mark.slow
+def test_dpt_hybrid_end_to_end_metric_parity(reference_env,
+                                             square_mini_root,
+                                             monkeypatch):
+    """Round-5 stretch: the full val protocol with dpt_hybrid
+    (vitb_rn50_384) at the REAL dimensions - truncated non-preact
+    ResNetV2-50 (TF-SAME StdConv + GroupNorm, stages 3/4/9) feeding
+    ViT-B/16 blocks, raw resnet taps at /4 and /8, readout reassembly at
+    /16 and /32, and the runtime pos-embed interpolation (24x24 -> the
+    12x12 net-192 grid) on both sides."""
+    from test_convert_hybrid import build_hybrid_twin
+
+    model = build_hybrid_twin(monkeypatch)
+
+    cfg = _square_cfg(square_mini_root, "dpt-hybrid", (192, 192))
+    scenes = ("scene-b",)
+
+    ref = _run_reference_validation(reference_env, model,
+                                    square_mini_root, scenes,
+                                    net=(192, 192))
+
+    from riders_tpu.models import convert
+    from riders_tpu.models.factory import build_sml_model
+    rmodel = build_sml_model(cfg)
+    assert rmodel.config.backbone == "vit_hybrid"
+    sd = {k: np.asarray(v.detach().numpy())
+          for k, v in model.state_dict().items()}
+    variables = convert.convert_dpt_state_dict(sd, rmodel.config)
+
+    riders = _run_riders_validation(cfg, variables, scenes)
+
+    rel = {k: abs(riders[k] - ref[k]) / max(abs(ref[k]), 1e-12)
+           for k in METRIC_KEYS}
+    from parity_common import write_fragment
+    write_fragment("hybrid", {"ref": ref, "riders": riders, "rel": rel})
+
+    bad = {k: f"{rel[k]:.4%} (ref {ref[k]:.6f} vs riders {riders[k]:.6f})"
+           for k in METRIC_KEYS if rel[k] > BUDGET}
+    assert not bad, f"metrics beyond the 1% budget: {bad}"
